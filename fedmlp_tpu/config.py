@@ -1,0 +1,222 @@
+"""Typed configuration for fedmlp_tpu.
+
+Mirrors every flag of the reference CLI (reference: utils/options.py:4-81)
+as a frozen dataclass, plus per-dataset presets that in the reference are
+applied by mutating ``args`` inside ``get_dataset`` (reference:
+dataset/dataset.py:14-17,88-91).
+
+Release-state quirks of the reference are normalized here behind explicit
+flags (see SURVEY.md §0):
+  * ``stage2_distill`` — the stage-2 global-distillation term is computed but
+    commented out in the released code (reference: utils/local_training.py:
+    1184-1188). Default False = released behavior; True = paper behavior.
+  * experiment-name skew ('FeMLP' vs 'FedMLP') is normalized: this framework
+    accepts only canonical algorithm names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+ALGORITHMS = (
+    "fedavg",
+    "fedmlp",
+    "fednoro",
+    "cbafed",
+    "fixmatch",  # reference name: 'FedAVG+FixMatch'
+    "fedlsr",
+    "rscfed",
+    "fedirm",
+    "rofl",
+    "centralized",  # single-client sanity config (BASELINE configs[0])
+)
+
+# Canonical ImageNet normalization used by every reference transform
+# (reference: dataset/dataset.py:21-22).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset geometry + pipeline knobs."""
+
+    name: str = "ChestXray14"  # ChestXray14 | ICH | synthetic
+    image_size: int = 224  # reference: dataset/dataset.py:25 Resize((224,224))
+    channels: int = 3
+    n_classes: int = 8
+    # Packed-array roots (replaces the reference's hard-coded author paths,
+    # reference: dataset/dataset.py:13,87).
+    root: Optional[str] = None
+    # synthetic dataset controls (test/bench fixture)
+    synthetic_train_size: int = 512
+    synthetic_test_size: int = 128
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+
+
+@dataclass(frozen=True)
+class FedMLPConfig:
+    """FedMLP-specific hyperparameters (reference: utils/options.py:46-49,59-64)."""
+
+    rounds_stage1: int = 50
+    U: float = 0.7  # tao upper bound
+    L: float = 0.3  # tao lower bound
+    tao_min: float = 0.1
+    clean_threshold: float = 0.005
+    noise_threshold: float = 0.01
+    difficulty_estimate: int = 1
+    miss_client_difficulty: int = 1
+    mixup: int = 1
+    # Released code disables the stage-2 distillation term
+    # (reference: utils/local_training.py:1187-1188 commented out).
+    stage2_distill: bool = False
+
+
+@dataclass(frozen=True)
+class RoFLConfig:
+    """RoFL hyperparameters (reference: utils/options.py:52-57)."""
+
+    forget_rate: float = 0.2
+    num_gradual: int = 10  # T_k
+    T_pl: int = 100
+    lambda_cen: float = 1.0
+    lambda_e: float = 0.8
+
+
+@dataclass(frozen=True)
+class FedLSRConfig:
+    t_w: int = 40  # beta ramp rounds (reference: utils/options.py:67)
+
+
+@dataclass(frozen=True)
+class FedIRMConfig:
+    """FedIRM hyperparameters (reference: utils/options.py:69-72)."""
+
+    rounds_sup: int = 20
+    consistency: float = 1.0
+    consistency_rampup: float = 30.0
+    ema_decay: float = 0.99
+
+
+@dataclass(frozen=True)
+class FedNoRoConfig:
+    """FedNoRo hyperparameters (reference: utils/options.py:74-77)."""
+
+    rounds_warmup: int = 500
+    begin: int = 10
+    end: int = 499
+    a: float = 0.8
+
+
+@dataclass(frozen=True)
+class CBAFedConfig:
+    rounds_warmup: int = 50  # reference: utils/options.py:79
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """TPU mesh layout. The client axis is the primary parallel dimension
+    (the reference trains clients sequentially, reference: main.py:135)."""
+
+    client_axis: int = -1  # -1: use all devices on the client axis
+    data_axis: int = 1  # per-client data parallelism
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level config. Field-for-field superset of the reference CLI
+    (reference: utils/options.py:4-81)."""
+
+    # system
+    deterministic: int = 1
+    seed: int = 1037
+    # basic
+    algorithm: str = "fedmlp"  # reference --exp
+    model: str = "resnet18"  # reference --model Resnet18
+    batch_size: int = 32
+    feature_dim: int = 512  # penultimate feature width of ResNet18
+    base_lr: float = 3e-5  # ICH 3e-5 / ChestXray14 3e-6
+    pretrained: int = 0  # ImageNet init if weights present
+    train: int = 1
+    # PSL
+    annotation_num: int = 1  # classes annotated per client
+    # FL
+    n_clients: int = 8
+    iid: int = 1
+    alpha_dirichlet: float = 0.5
+    local_ep: int = 1
+    rounds_warmup: int = 500  # total federated rounds
+    rounds_corr: int = 200
+    rounds_distillation: int = 200
+    rounds_finetune: int = 50
+    runs: int = 1
+    # label hiding: fraction of positives KEPT visible for non-active classes
+    # (reference: main.py:63, p_pos_1 = 0. → all positives hidden)
+    p_pos: float = 0.0
+    # eval cadence (reference: main.py:322 — every 10 rounds)
+    eval_every: int = 10
+    checkpoint_every: int = 10
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    # sub-configs
+    data: DataConfig = field(default_factory=DataConfig)
+    fedmlp: FedMLPConfig = field(default_factory=FedMLPConfig)
+    rofl: RoFLConfig = field(default_factory=RoFLConfig)
+    fedlsr: FedLSRConfig = field(default_factory=FedLSRConfig)
+    fedirm: FedIRMConfig = field(default_factory=FedIRMConfig)
+    fednoro: FedNoRoConfig = field(default_factory=FedNoRoConfig)
+    cbafed: CBAFedConfig = field(default_factory=CBAFedConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # output
+    output_dir: str = "outputs"
+    exp_tag: str = ""
+
+    def __post_init__(self):
+        if self.algorithm not in ALGORITHMS:
+            raise ValueError(
+                f"unknown algorithm {self.algorithm!r}; expected one of {ALGORITHMS}"
+            )
+
+    # ------------------------------------------------------------------
+    @property
+    def n_classes(self) -> int:
+        return self.data.n_classes
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def preset(dataset: str, **overrides) -> "Config":
+        """Per-dataset presets (reference: dataset/dataset.py:14-17,88-91)."""
+        dataset_canon = {
+            "chestxray14": "ChestXray14",
+            "ich": "ICH",
+            "synthetic": "synthetic",
+        }.get(dataset.lower())
+        if dataset_canon is None:
+            raise ValueError(f"unknown dataset {dataset!r}")
+        if dataset_canon == "ChestXray14":
+            data = DataConfig(name="ChestXray14", n_classes=8)
+            base = dict(n_clients=8, base_lr=3e-6, data=data)
+        elif dataset_canon == "ICH":
+            data = DataConfig(name="ICH", n_classes=5)
+            base = dict(n_clients=5, base_lr=3e-5, data=data)
+        else:  # synthetic
+            data = DataConfig(name="synthetic", n_classes=5, image_size=64)
+            base = dict(n_clients=5, base_lr=3e-4, data=data)
+        base.update(overrides)
+        return Config(**base)
+
+
+def active_class_lists(cfg: Config) -> list[list[int]]:
+    """Client i annotates classes [i*k ... i*k+k-1] mod n_classes; with the
+    default annotation_num=1 this is [[0],[1],...] exactly as the reference
+    wires it (reference: main.py:76, active_class_list=[i])."""
+    k = cfg.annotation_num
+    C = cfg.n_classes
+    return [[(i * k + j) % C for j in range(k)] for i in range(cfg.n_clients)]
