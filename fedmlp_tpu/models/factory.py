@@ -1,0 +1,89 @@
+"""Model factory.
+
+Name → Flax module, covering the full reference zoo
+(reference: model/all_models.py:29-96). Names are case-insensitive and the
+reference spellings ('Resnet18', 'Efficient_b0', 'Dense121', 'SENet50',
+'Vgg11') are accepted alongside canonical ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fedmlp_tpu.models import densenet, efficientnet, resnet, vgg
+
+MODEL_REGISTRY = {
+    # resnets (feature dims: 512, 512, 2048, 2048, 2048)
+    "resnet18": (resnet.resnet18, 512),
+    "resnet34": (resnet.resnet34, 512),
+    "resnet50": (resnet.resnet50, 2048),
+    "resnet101": (resnet.resnet101, 2048),
+    "resnet152": (resnet.resnet152, 2048),
+    # se variants
+    "senet50": (resnet.se_resnet50, 2048),
+    "senet101": (resnet.se_resnet101, 2048),
+    "senet152": (resnet.se_resnet152, 2048),
+    "senet154": (resnet.senet154, 2048),
+    # efficientnets
+    "efficient_b0": (efficientnet.efficientnet_b0, 1280),
+    "efficient_b1": (efficientnet.efficientnet_b1, 1280),
+    "efficient_b2": (efficientnet.efficientnet_b2, 1408),
+    "efficient_b3": (efficientnet.efficientnet_b3, 1536),
+    "efficient_b4": (efficientnet.efficientnet_b4, 1792),
+    "efficient_b5": (efficientnet.efficientnet_b5, 2048),
+    "efficient_b6": (efficientnet.efficientnet_b6, 2304),
+    "efficient_b7": (efficientnet.efficientnet_b7, 2560),
+    # vggs (penultimate fc is 4096-wide)
+    "vgg11": (vgg.vgg11, 4096),
+    "vgg13": (vgg.vgg13, 4096),
+    "vgg16": (vgg.vgg16, 4096),
+    "vgg19": (vgg.vgg19, 4096),
+    # densenets
+    "dense121": (densenet.densenet121, 1024),
+    "dense161": (densenet.densenet161, 2208),
+    "dense169": (densenet.densenet169, 1664),
+    "dense201": (densenet.densenet201, 1920),
+}
+
+_ALIASES = {
+    "efficientnet_b" + str(i): "efficient_b" + str(i) for i in range(8)
+}
+_ALIASES.update({"densenet" + s: "dense" + s for s in ("121", "161", "169", "201")})
+_ALIASES.update({"se_resnet50": "senet50", "se_resnet101": "senet101",
+                 "se_resnet152": "senet152"})
+
+
+def _canon(name: str) -> str:
+    n = name.lower()
+    return _ALIASES.get(n, n)
+
+
+def feature_dim_of(name: str) -> int:
+    return MODEL_REGISTRY[_canon(name)][1]
+
+
+def build_model(
+    name: str,
+    num_classes: int,
+    compute_dtype=jnp.bfloat16,
+    normed_head: bool = False,
+):
+    """Return the Flax module for ``name`` with an ``num_classes``-way head
+    (reference: model/build_model.py:5-9 = get_model + modify_last_layer)."""
+    key = _canon(name)
+    if key not in MODEL_REGISTRY:
+        raise ValueError(f"Name of model unknown {name}")
+    ctor, _ = MODEL_REGISTRY[key]
+    return ctor(num_classes, dtype=compute_dtype, normed_head=normed_head)
+
+
+def init_model(model, rng, image_size: int, channels: int = 3, batch: int = 1):
+    """Initialize variables with a dummy batch; returns the variables dict
+    ({'params': ..., 'batch_stats': ...})."""
+    dummy = jnp.zeros((batch, image_size, image_size, channels), jnp.float32)
+    return model.init(rng, dummy, train=False)
+
+
+def count_params(variables) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
