@@ -71,7 +71,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     name: str = "synthetic",
     class_probs: np.ndarray | None = None,
-    signal: float = 60.0,
+    signal: float = 150.0,
 ) -> ArrayDataset:
     """Random-but-learnable fixture: each class plants a class-specific
     spatial pattern with amplitude ``signal`` when positive, so real
@@ -89,9 +89,13 @@ def make_synthetic_dataset(
         if pos > n - 2:
             targets[rng.choice(n, 2, replace=False), c] = 0.0
     base = rng.randint(0, 256, size=(n, image_size, image_size, 3)).astype(np.float32)
-    # class patterns: fixed random low-frequency masks
-    patt = rng.randn(n_classes, image_size, image_size, 1).astype(np.float32)
-    patt /= np.abs(patt).max(axis=(1, 2, 3), keepdims=True)
+    # class patterns: positive-mean horizontal bands (one per class, rotating
+    # through channels) — affine-robust and visible to GAP features
+    patt = np.zeros((n_classes, image_size, image_size, 3), np.float32)
+    band = max(2, image_size // n_classes)
+    for c in range(n_classes):
+        r0 = (c * band) % max(1, image_size - band)
+        patt[c, r0 : r0 + band, :, c % 3] = 1.0
     overlay = np.einsum("nc,chwk->nhwk", targets, patt) * signal
     images = np.clip(base + overlay, 0, 255).astype(np.uint8)
     return ArrayDataset(images, targets, tuple(f"c{i}" for i in range(n_classes)), name)

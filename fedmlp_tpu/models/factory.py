@@ -11,9 +11,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fedmlp_tpu.models import densenet, efficientnet, resnet, vgg
+from fedmlp_tpu.models import densenet, efficientnet, resnet, smallcnn, vgg
 
 MODEL_REGISTRY = {
+    # test/debug backbone (not in the reference zoo)
+    "smallcnn": (smallcnn.smallcnn, smallcnn.FEATURE_DIM),
     # resnets (feature dims: 512, 512, 2048, 2048, 2048)
     "resnet18": (resnet.resnet18, 512),
     "resnet34": (resnet.resnet34, 512),

@@ -1,0 +1,334 @@
+"""SPMD federated-learning runtime.
+
+The reference's round loop hands each client a deepcopy of the global model
+and trains them one-by-one on a single GPU (reference: main.py:135-197).
+Here one federated round is ONE compiled XLA program:
+
+  * client variables stacked on a leading [K, ...] axis (params + BN stats
+    + Adam state), sharded over the ``client`` mesh axis;
+  * the per-round batch plan is a static-shape tensor of positions
+    [S, K, B] into each client's padded index table, with validity masks
+    standing in for ragged batches;
+  * each step gathers uint8 images from the device-resident dataset,
+    augments both views on device, and runs a vmapped grad step over K;
+  * server aggregation is a weighted reduction over the client axis.
+
+Parity notes vs the reference:
+  * Adam is re-initialized every round (the reference constructs a fresh
+    torch.optim.Adam per call, e.g. utils/local_training.py:912-913) and
+    uses torch semantics (L2 term added to the gradient before moments).
+  * Loss normalization divides by the CONFIGURED batch size, so ragged last
+    batches contribute proportionally less, exactly like the reference
+    (e.g. utils/local_training.py:956-959 divides by args.batch_size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fedmlp_tpu.data.masking import (
+    build_active_matrix,
+    build_client_index_table,
+    observed_targets,
+)
+from fedmlp_tpu.ops import augment as A
+
+
+# ----------------------------------------------------------------------
+# Optimizer: torch.optim.Adam(lr, betas=(0.9, 0.999), weight_decay=5e-4)
+# (reference: utils/local_training.py:636-637) — L2 added to grad.
+# ----------------------------------------------------------------------
+
+def torch_adam(lr: float, weight_decay: float = 5e-4, b1=0.9, b2=0.999, eps=1e-8):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale(-lr),
+    )
+
+
+# ----------------------------------------------------------------------
+# Federated data: device-resident packed arrays + per-client tables
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FederatedData:
+    """All static data of a federation, ready for device gathers."""
+
+    images: jnp.ndarray          # uint8 [N, H, W, 3]
+    targets: jnp.ndarray         # f32 [N, C] (TRUE labels — eval/diagnostics)
+    obs_targets: jnp.ndarray     # f32 [K, M, C] observed (masked) labels
+    idx: jnp.ndarray             # i32 [K, M] global sample index table
+    valid: jnp.ndarray           # bool [K, M]
+    active: jnp.ndarray          # bool [K, C]
+    loss_w: jnp.ndarray          # f32 [K, C] pos_weight = N_k / class_count
+    class_num: jnp.ndarray       # f32 [K, C] true per-class counts
+    n_local: jnp.ndarray         # i32 [K]
+    mean: tuple
+    std: tuple
+
+    @property
+    def n_clients(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def n_classes(self) -> int:
+        return self.targets.shape[1]
+
+    @property
+    def max_local(self) -> int:
+        return self.idx.shape[1]
+
+
+def build_federated_data(
+    images: np.ndarray,
+    targets: np.ndarray,
+    dict_users: dict[int, list[int]],
+    hidden: np.ndarray,
+    active_class_lists: list[list[int]],
+    mean=(0.485, 0.456, 0.406),
+    std=(0.229, 0.224, 0.225),
+) -> FederatedData:
+    """Densify the reference's Python-side bookkeeping into arrays.
+
+    Mirrors: DatasetSplit construction + get_num_of_each_class + loss_w
+    (reference: utils/local_training.py:38-43) and the label masking of
+    DatasetSplit.__getitem__ (:1347-1356).
+    """
+    K = len(active_class_lists)
+    C = targets.shape[1]
+    idx, valid = build_client_index_table(dict_users, K)
+    active = build_active_matrix(active_class_lists, C)
+
+    M = idx.shape[1]
+    obs = np.zeros((K, M, C), np.float32)
+    loss_w = np.zeros((K, C), np.float32)
+    class_num = np.zeros((K, C), np.float32)
+    n_local = valid.sum(1).astype(np.int32)
+    for k in range(K):
+        tk = targets[idx[k]]  # [M, C] true labels of this client's samples
+        obs[k] = observed_targets(tk, hidden[idx[k]], active[k])
+        obs[k][~valid[k]] = 0.0
+        # loss_w from TRUE counts (reference get_num_of_each_class sums true
+        # targets, utils/local_training.py:1358-1362)
+        cn = (tk * valid[k][:, None]).sum(0)
+        class_num[k] = cn
+        loss_w[k] = n_local[k] / np.maximum(cn, 1e-12)
+    return FederatedData(
+        images=jnp.asarray(images),
+        targets=jnp.asarray(targets, jnp.float32),
+        obs_targets=jnp.asarray(obs),
+        idx=jnp.asarray(idx),
+        valid=jnp.asarray(valid),
+        active=jnp.asarray(active),
+        loss_w=jnp.asarray(loss_w),
+        class_num=jnp.asarray(class_num),
+        n_local=jnp.asarray(n_local),
+        mean=tuple(mean),
+        std=tuple(std),
+    )
+
+
+# ----------------------------------------------------------------------
+# Batch plan: host-side shuffling → static-shape position tensors
+# ----------------------------------------------------------------------
+
+def make_batch_plan(
+    rng: np.random.RandomState,
+    valid: np.ndarray,
+    batch_size: int,
+    local_ep: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-epoch shuffled batch positions for every client.
+
+    Returns (pos [S, K, B], pos_valid [S, K, B], steps_per_epoch) where
+    S = local_ep · max_k ceil(n_k / B). Clients with fewer samples get
+    padding entries with pos_valid=False (their loss contribution is 0,
+    matching the reference's divide-by-configured-batch semantics).
+    """
+    valid = np.asarray(valid)
+    K, M = valid.shape
+    sizes = valid.sum(1)
+    steps = int(np.ceil(sizes.max() / batch_size))
+    S = local_ep * steps
+    pos = np.zeros((S, K, batch_size), np.int32)
+    pos_valid = np.zeros((S, K, batch_size), bool)
+    for k in range(K):
+        mine = np.where(valid[k])[0]
+        for e in range(local_ep):
+            perm = rng.permutation(mine)
+            padded = np.zeros(steps * batch_size, np.int32)
+            vmask = np.zeros(steps * batch_size, bool)
+            padded[: len(perm)] = perm
+            vmask[: len(perm)] = True
+            sl = slice(e * steps, (e + 1) * steps)
+            pos[sl, k] = padded.reshape(steps, batch_size)
+            pos_valid[sl, k] = vmask.reshape(steps, batch_size)
+    return pos, pos_valid, steps
+
+
+# ----------------------------------------------------------------------
+# Variable stacking
+# ----------------------------------------------------------------------
+
+def broadcast_to_clients(tree, n_clients: int):
+    """Tile global variables to a stacked [K, ...] pytree (the reference's
+    per-client deepcopy(netglob), main.py:139)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_clients,) + x.shape), tree
+    )
+
+
+def tree_index(tree, i):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+# ----------------------------------------------------------------------
+# Generic local-round executor
+# ----------------------------------------------------------------------
+
+LossFn = Callable[..., tuple[jnp.ndarray, tuple]]
+
+
+def make_local_round(
+    model,
+    loss_fn: LossFn,
+    *,
+    lr: float,
+    batch_size: int,
+    mean,
+    std,
+    view_mode: str = "single",  # 'single' | 'dual' | 'weak_strong'
+    needs_global: bool = False,
+    weight_decay: float = 5e-4,
+    donate: bool = True,
+):
+    """Build a jitted function running S local steps for ALL clients.
+
+    ``loss_fn(params, batch_stats, model, views, labels, svalid, ctx,
+    rng, scalars) -> (loss, (new_batch_stats, aux))`` operates on ONE
+    client's batch; the engine vmaps it over the stacked client axis.
+
+    views: dict with keys 'x' (single) or 'x1','x2' plus, when
+    ``needs_global``, 'g_probs1'/'g_probs2' — frozen-global sigmoid outputs
+    (reference stage-1 distillation, utils/local_training.py:943-947).
+    """
+    tx = torch_adam(lr, weight_decay)
+
+    def augment_views(imgs_u8, key):
+        if view_mode == "single":
+            k1, _ = jax.random.split(key)
+            return {"x": A.weak_augment_batch(imgs_u8, k1, mean, std)}
+        k1, k2 = jax.random.split(key)
+        x1 = A.weak_augment_batch(imgs_u8, k1, mean, std)
+        if view_mode == "dual":
+            x2 = A.weak_augment_batch(imgs_u8, k2, mean, std)
+        else:
+            x2 = A.strong_augment_batch(imgs_u8, k2, mean, std)
+        return {"x1": x1, "x2": x2}
+
+    def client_step(vars_k, opt_k, imgs_u8, labels, svalid, ctx, global_vars,
+                    key, scalars):
+        ka, kl = jax.random.split(key)
+        views = augment_views(imgs_u8, ka)
+        if needs_global:
+            if view_mode == "single":
+                _, glog = model.apply(global_vars, views["x"], train=False)
+                views["g_probs"] = jax.nn.sigmoid(glog)
+            else:
+                _, g1 = model.apply(global_vars, views["x1"], train=False)
+                _, g2 = model.apply(global_vars, views["x2"], train=False)
+                views["g_probs1"] = jax.nn.sigmoid(g1)
+                views["g_probs2"] = jax.nn.sigmoid(g2)
+
+        params = vars_k["params"]
+        rest = {k: v for k, v in vars_k.items() if k != "params"}
+
+        def lf(p):
+            return loss_fn(p, rest, model, views, labels, svalid, ctx, kl, scalars)
+
+        (loss, (new_rest, aux)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_k, params)
+        # a step with zero valid samples must not move this client
+        has_any = (svalid.sum() > 0).astype(jnp.float32)
+        updates = jax.tree_util.tree_map(lambda u: u * has_any, updates)
+        new_params = optax.apply_updates(params, updates)
+        new_vars = dict(new_rest)
+        new_vars["params"] = new_params
+        return new_vars, new_opt, loss * has_any, has_any, aux
+
+    vstep = jax.vmap(
+        client_step,
+        in_axes=(0, 0, 0, 0, 0, 0, None, 0, None),
+        out_axes=(0, 0, 0, 0, 0),
+    )
+
+    def round_fn(stacked_vars, global_vars, fd_images, fd_obs, fd_idx, ctx,
+                 pos, pos_valid, rng_key, scalars):
+        K = pos.shape[1]
+        opt_state = jax.vmap(tx.init)(stacked_vars["params"])
+        S = pos.shape[0]
+
+        def body(carry, xs):
+            svars, sopt, key, loss_sum, cnt = carry
+            step_pos, step_valid = xs  # [K, B]
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, K)
+            gidx = jnp.take_along_axis(fd_idx, step_pos, axis=1)  # [K, B]
+            imgs = fd_images[gidx]  # [K, B, H, W, 3]
+            labels = jnp.take_along_axis(
+                fd_obs, step_pos[:, :, None], axis=1
+            )  # [K, B, C]
+            svars, sopt, loss, has_any, _ = vstep(
+                svars, sopt, imgs, labels, step_valid, ctx, global_vars,
+                keys, scalars,
+            )
+            return (svars, sopt, key, loss_sum + loss, cnt + has_any), None
+
+        init = (
+            stacked_vars,
+            opt_state,
+            rng_key,
+            jnp.zeros((K,), jnp.float32),
+            jnp.zeros((K,), jnp.float32),
+        )
+        (svars, _, _, loss_sum, cnt), _ = jax.lax.scan(body, init, (pos, pos_valid))
+        mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
+        return svars, mean_loss
+
+    return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+
+
+# ----------------------------------------------------------------------
+# Evaluation forward (batched, device-side)
+# ----------------------------------------------------------------------
+
+def make_eval_fn(model, mean, std, batch_size: int = 128):
+    @jax.jit
+    def fwd(global_vars, imgs_u8):
+        x = A.eval_batch(imgs_u8, mean, std)
+        feat, logits = model.apply(global_vars, x, train=False)
+        return feat, jax.nn.sigmoid(logits)
+
+    def evaluate_probs(global_vars, images_u8):
+        n = images_u8.shape[0]
+        out = []
+        for s in range(0, n, batch_size):
+            chunk = images_u8[s : s + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            _, probs = fwd(global_vars, chunk)
+            out.append(np.asarray(probs[: batch_size - pad if pad else batch_size]))
+        return np.concatenate(out, axis=0)
+
+    return evaluate_probs

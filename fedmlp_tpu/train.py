@@ -1,0 +1,204 @@
+"""Round-loop trainer (the reference's main.py, re-designed TPU-first).
+
+One federated round = one jitted SPMD program over the client-stacked state
+(see parallel/fl_runtime.py). The trainer owns the host-side pieces: batch
+plans, server-side algorithm state that is naturally scalar/small (τ,
+prototypes, relation matrices), evaluation cadence, and checkpoints.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedmlp_tpu import algos as algo_registry
+from fedmlp_tpu.config import Config, active_class_lists
+from fedmlp_tpu.data.datasets import ArrayDataset, make_synthetic_dataset
+from fedmlp_tpu.data.masking import build_hidden_mask, class_client_lists
+from fedmlp_tpu.data.partition import iid_sampling, non_iid_dirichlet_sampling
+from fedmlp_tpu.eval.metrics import multilabel_report
+from fedmlp_tpu.fl import fedavg as agg_fedavg
+from fedmlp_tpu.models import build_model
+from fedmlp_tpu.models.factory import init_model
+from fedmlp_tpu.parallel import make_mesh, shard_stacked, replicate
+from fedmlp_tpu.parallel import fl_runtime as rt
+
+log = logging.getLogger("fedmlp_tpu")
+
+
+@dataclass
+class RoundRecord:
+    round: int
+    client_losses: list
+    metrics: Optional[dict] = None
+    seconds: float = 0.0
+
+
+@dataclass
+class Trainer:
+    cfg: Config
+    train_ds: Optional[ArrayDataset] = None
+    test_ds: Optional[ArrayDataset] = None
+    dict_users: Optional[dict] = None
+    use_mesh: bool = True
+    history: list = field(default_factory=list)
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.rng = np.random.RandomState(cfg.seed)
+        if self.train_ds is None:
+            self.train_ds = make_synthetic_dataset(
+                cfg.data.synthetic_train_size, cfg.data.n_classes,
+                cfg.data.image_size, seed=cfg.seed,
+            )
+            self.test_ds = make_synthetic_dataset(
+                cfg.data.synthetic_test_size, cfg.data.n_classes,
+                cfg.data.image_size, seed=cfg.seed + 1,
+            )
+        assert self.train_ds.n_classes == cfg.data.n_classes
+
+        # ---- partition (reference: dataset/dataset.py:168-180) ----
+        if self.dict_users is None:
+            if cfg.algorithm == "centralized" or cfg.n_clients == 1:
+                self.dict_users = {0: list(range(len(self.train_ds)))}
+            elif cfg.iid:
+                self.dict_users = iid_sampling(
+                    len(self.train_ds), cfg.n_clients, cfg.seed
+                )
+            else:
+                self.dict_users = non_iid_dirichlet_sampling(
+                    self.train_ds.targets, cfg.n_classes, 1.0,
+                    cfg.n_clients, cfg.seed, cfg.alpha_dirichlet,
+                )
+        self.n_clients = len(self.dict_users)
+
+        # ---- label hiding (reference: main.py:58-66) ----
+        self.hidden = build_hidden_mask(
+            self.train_ds.targets, cfg.p_pos, np.random.RandomState(cfg.seed)
+        )
+        if cfg.algorithm == "centralized":
+            self.active_lists = [list(range(cfg.n_classes))]
+            self.hidden[:] = False
+        else:
+            self.active_lists = active_class_lists(cfg)[: self.n_clients]
+
+        # ---- device-resident federation state ----
+        self.fd = rt.build_federated_data(
+            self.train_ds.images, self.train_ds.targets, self.dict_users,
+            self.hidden, self.active_lists,
+            mean=cfg.data.mean, std=cfg.data.std,
+        )
+        self.dict_len = np.asarray(self.fd.n_local)
+        self.class_active_clients, self.class_negative_clients = class_client_lists(
+            np.asarray(self.fd.active)
+        )
+
+        # ---- model ----
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = build_model(cfg.model, cfg.n_classes, compute_dtype=dtype)
+        self.global_vars = init_model(
+            self.model, jax.random.PRNGKey(cfg.seed), cfg.data.image_size,
+            batch=2,
+        )
+
+        # ---- mesh ----
+        self.mesh = make_mesh() if self.use_mesh else None
+
+        # ---- algorithm ----
+        self.algo = algo_registry.get_algorithm(cfg.algorithm)
+        self.round_fn = rt.make_local_round(
+            self.model,
+            self.algo.loss_fn,
+            lr=cfg.base_lr,
+            batch_size=cfg.batch_size,
+            mean=cfg.data.mean,
+            std=cfg.data.std,
+            view_mode=self.algo.VIEW_MODE,
+            needs_global=self.algo.NEEDS_GLOBAL,
+            donate=True,
+        )
+        self.server_state = (
+            self.algo.init_server_state(self) if hasattr(self.algo, "init_server_state")
+            else {}
+        )
+        self.eval_probs = rt.make_eval_fn(
+            self.model, cfg.data.mean, cfg.data.std,
+            batch_size=cfg.batch_size * 4,
+        )
+        self._jkey = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def client_ctx(self) -> dict:
+        fd = self.fd
+        return {
+            "active": fd.active.astype(jnp.float32),
+            "negative": 1.0 - fd.active.astype(jnp.float32),
+            "loss_w": fd.loss_w,
+            "class_num": fd.class_num,
+            "n_local": fd.n_local.astype(jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def run_round(self, rnd: int) -> RoundRecord:
+        cfg = self.cfg
+        t0 = time.time()
+        pos, pos_valid, _ = rt.make_batch_plan(
+            self.rng, np.asarray(self.fd.valid), cfg.batch_size, cfg.local_ep
+        )
+        stacked = rt.broadcast_to_clients(self.global_vars, self.n_clients)
+        if self.mesh is not None and self.n_clients % self.mesh.shape["client"] == 0:
+            stacked = shard_stacked(self.mesh, stacked)
+        self._jkey, sub = jax.random.split(self._jkey)
+
+        scalars = self.round_scalars(rnd)
+        svars, losses = self.round_fn(
+            stacked, self.global_vars, self.fd.images, self.fd.obs_targets,
+            self.fd.idx, self.client_ctx(), jnp.asarray(pos),
+            jnp.asarray(pos_valid), sub, scalars,
+        )
+
+        # server aggregation (algorithm may override)
+        if hasattr(self.algo, "server_update"):
+            self.global_vars, self.server_state = self.algo.server_update(
+                self, rnd, svars, self.server_state
+            )
+        else:
+            self.global_vars = agg_fedavg(svars, self.dict_len)
+
+        rec = RoundRecord(rnd, np.asarray(losses).tolist(), None, time.time() - t0)
+
+        if (rnd + 1) % cfg.eval_every == 0 or rnd == cfg.rounds_warmup - 1:
+            rec.metrics = self.evaluate()
+            log.info(
+                "round %d metrics: mAP %.4f auc %.4f bacc %.4f", rnd,
+                rec.metrics["mAP"], rec.metrics["auc"], rec.metrics["BACC"],
+            )
+        self.history.append(rec)
+        return rec
+
+    def round_scalars(self, rnd: int) -> dict:
+        base = {"rnd": jnp.float32(rnd)}
+        if hasattr(self.algo, "round_scalars"):
+            base.update(self.algo.round_scalars(self, rnd))
+        return base
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> dict:
+        probs = self.eval_probs(self.global_vars, jnp.asarray(self.test_ds.images))
+        return multilabel_report(self.test_ds.targets, probs)
+
+    def run(self, rounds: Optional[int] = None) -> list:
+        rounds = rounds if rounds is not None else self.cfg.rounds_warmup
+        for rnd in range(rounds):
+            rec = self.run_round(rnd)
+            log.info(
+                "round %d done in %.2fs, losses %s", rnd, rec.seconds,
+                np.round(rec.client_losses, 4),
+            )
+        return self.history
