@@ -1,6 +1,6 @@
 """Federated algorithm registry."""
 
-from fedmlp_tpu.algos import fedavg
+from fedmlp_tpu.algos import fedavg, fedmlp
 
 _REGISTRY = {}
 
@@ -17,3 +17,4 @@ def get_algorithm(name: str):
 
 register("fedavg", fedavg)
 register("centralized", fedavg)  # single-client degenerate case
+register("fedmlp", fedmlp)

@@ -1,0 +1,279 @@
+"""FedMLP — the flagship two-stage method (reference:
+utils/local_training.py:904-1256 + server side main.py:216-237).
+
+Stage 1 (rnd < rounds_stage1) — warm-up + prototype/τ estimation:
+  local loss on two weak views (:935-963):
+      BCE(probs, labels) averaged over views, active classes only
+    + MSE(probs, frozen-global probs) averaged over views, missing classes
+    + 0.0 · view-consistency (kept at zero, as released)
+  at the last stage-1 round each client extracts per-class binary feature
+  prototypes and per-missing-class confidence fractions t (:971-1002).
+
+Stage 2 (rnd >= rounds_stage1) — pseudo-label tagging + training:
+  1. harvest features of the untagged pool with the arriving global model
+     (:1023-1049);
+  2. per missing class: score = cos(f, proto_0) − cos(f, proto_1); clean
+     candidates (score ≥ 0) vs noise candidates (score < 0) (:1052-1065);
+  3. tag top clean_threshold·|clean| by score as clean and bottom
+     noise_threshold·|noise| as noise — noise gets pseudo-label 1
+     (:1066-1112); tags accumulate, pools shrink per class (:1197-1204);
+  4. train on view 1 with BCE masked to confident classes (active ∪ tagged),
+     normalized by the number of supervised cells (:1184-1188); the global-
+     distillation term is computed but disabled in the released code — it
+     is available behind cfg.fedmlp.stage2_distill;
+  5. refresh prototypes/τ with the trained net over the full local set
+     (:1208-1250).
+
+Server: FedAvg of weights; τ ← weighted mean over clients MISSING the class
+(main.py:223 passes class_negative_client_list); prototypes ← weighted mean
+over clients annotating the class, full replacement λ=1 (main.py:230-234).
+
+State is fixed-shape: tags live in an int8 [K, M, C] array
+(0 untagged / 1 clean / 2 noise) instead of the reference's growing Python
+index lists; selection counts are data-dependent so the top-k tagging step
+runs host-side on the device-computed score matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedmlp_tpu.algos.base import apply_train, masked_rows
+from fedmlp_tpu.fl import fedavg as agg_fedavg, fedavg_proto, fedavg_tao
+from fedmlp_tpu.ops import losses as L
+from fedmlp_tpu.ops.similarity import (
+    confidence_fraction,
+    fedmlp_similarity_scores,
+    masked_binary_prototypes,
+)
+from fedmlp_tpu.parallel import fl_runtime as rt
+
+VIEW_MODE = "dual"
+NEEDS_GLOBAL = True
+
+
+# ----------------------------------------------------------------------
+# Stage-1 loss (engine-compatible)
+# ----------------------------------------------------------------------
+
+def loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
+    labels = sample["labels"]
+    _, logits1, rest1 = apply_train(model, params, rest, views["x1"])
+    _, logits2, rest2 = apply_train(model, params, rest1, views["x2"])
+    p1 = jax.nn.sigmoid(logits1)
+    p2 = jax.nn.sigmoid(logits2)
+    B, C = logits1.shape
+
+    sup = (L.bce_on_probs(p1, labels) + L.bce_on_probs(p2, labels)) / 2.0
+    dis = ((p1 - views["g_probs1"]) ** 2 + (p2 - views["g_probs2"]) ** 2) / 2.0
+    sup = masked_rows(sup, svalid)
+    dis = masked_rows(dis, svalid)
+    active, negative = ctx["active"], ctx["negative"]
+    loss_sup = (sup * active[None, :]).sum() / (B * jnp.maximum(active.sum(), 1.0))
+    loss_dis = (dis * negative[None, :]).sum() / (B * jnp.maximum(negative.sum(), 1.0))
+    return loss_sup + loss_dis, (rest2, {})
+
+
+# ----------------------------------------------------------------------
+# Stage-2 loss: supervised-only on view 1 over confident cells
+# ----------------------------------------------------------------------
+
+def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
+    labels = sample["labels"]
+    supmask = sample["supmask"]  # [B, C] — active ∪ tagged classes
+    _, logits1, rest1 = apply_train(model, params, rest, views["x1"])
+    p1 = jax.nn.sigmoid(logits1)
+    cell = supmask * svalid.astype(supmask.dtype)[:, None]
+    sup = L.bce_on_probs(p1, labels) * cell
+    loss = sup.sum() / jnp.maximum(cell.sum(), 1.0)
+    distill_w = scalars.get("stage2_distill", jnp.float32(0.0))
+    # paper-behavior term, disabled by default (released code comments it out)
+    dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[:, None]
+    dis = ((p1 - views["g_probs1"]) ** 2) * dcell
+    denom = jnp.maximum(cell.sum() + dcell.sum(), 1.0)
+    loss_with_distill = (sup.sum() + dis.sum()) / denom
+    return jnp.where(distill_w > 0, loss_with_distill, loss), (rest1, {})
+
+
+# ----------------------------------------------------------------------
+# Extraction: prototypes + τ for every client (device, vmapped)
+# ----------------------------------------------------------------------
+
+def _extract_stats(trainer, feats, probs):
+    """(features [K,M,D], probs [K,M,C]) → (taos [K,C], protos [K,2C,D]).
+
+    Prototypes use OBSERVED labels of active classes (identical to true
+    labels there); τ counts confident samples for missing classes
+    (reference: utils/local_training.py:985-1000)."""
+    fd = trainer.fd
+    C = fd.n_classes
+
+    def one(f, p, obs, valid, active):
+        proto, _ = masked_binary_prototypes(f, obs, valid, C)
+        # zero out prototypes of non-active classes (never aggregated anyway)
+        keep = jnp.repeat(active, 2)[:, None]
+        proto = proto * keep
+        t = confidence_fraction(
+            p, valid, trainer.cfg.fedmlp.L, trainer.cfg.fedmlp.U
+        )
+        t = t * (1.0 - active)  # reference only fills missing classes
+        return t, proto
+
+    taos, protos = jax.vmap(one)(
+        feats, probs, fd.obs_targets, fd.valid.astype(jnp.float32),
+        fd.active.astype(jnp.float32),
+    )
+    return taos, protos
+
+
+# ----------------------------------------------------------------------
+# Host-side tagging (data-dependent top-k counts)
+# ----------------------------------------------------------------------
+
+def _update_tags(trainer, scores: np.ndarray) -> None:
+    """Accumulate clean/noise tags (reference: utils/local_training.py:
+    1066-1112). scores [K, M, C]; tags/pools tracked per (client, class)."""
+    st = trainer.server_state
+    tags = st["tags"]  # int8 [K, M, C]
+    cfg = trainer.cfg.fedmlp
+    valid = np.asarray(trainer.fd.valid)
+    active = np.asarray(trainer.fd.active)
+    K, M, C = tags.shape
+    for k in range(K):
+        for c in range(C):
+            if active[k, c]:
+                continue
+            pool = valid[k] & (tags[k, :, c] == 0)
+            s = scores[k, :, c]
+            clean_n = int(cfg.clean_threshold * int((pool & (s >= 0)).sum()))
+            noise_n = int(cfg.noise_threshold * int((pool & (s < 0)).sum()))
+            pool_pos = np.where(pool)[0]
+            if len(pool_pos) == 0:
+                continue
+            order = pool_pos[np.argsort(s[pool_pos], kind="stable")]
+            if noise_n > 0:
+                tags[k, order[:noise_n], c] = 2  # most negative → noise
+            if clean_n > 0:
+                tags[k, order[-clean_n:], c] = 1  # most positive → clean
+
+
+def _stage2_sample_arrays(trainer):
+    """Pseudo labels + supervision mask from the tag state
+    (DatasetSplit_pseudo semantics, reference: utils/local_training.py:
+    1456-1469): zero all non-active classes, set 1 where tagged noise;
+    supervise active ∪ tagged cells."""
+    fd = trainer.fd
+    tags = trainer.server_state["tags"]
+    active = np.asarray(fd.active)[:, None, :]  # [K,1,C]
+    true_k = np.asarray(fd.targets)[np.asarray(fd.idx)]  # [K,M,C]
+    labels = true_k * active
+    labels = np.where(tags == 2, 1.0, labels).astype(np.float32)
+    supmask = (active | (tags > 0)).astype(np.float32)
+    return {
+        "labels": jnp.asarray(labels),
+        "supmask": jnp.asarray(supmask),
+    }
+
+
+# ----------------------------------------------------------------------
+# Trainer hooks
+# ----------------------------------------------------------------------
+
+def init_server_state(trainer):
+    fd = trainer.fd
+    C = fd.n_classes
+    D = trainer.model.apply  # placeholder; feature dim resolved lazily
+    from fedmlp_tpu.models import feature_dim_of
+
+    feat_dim = feature_dim_of(trainer.cfg.model)
+    return {
+        "tao": np.zeros((C,), np.float32),
+        "proto": np.zeros((2 * C, feat_dim), np.float32),
+        "tags": np.zeros((fd.n_clients, fd.max_local, C), np.int8),
+    }
+
+
+def _get_harvest(trainer):
+    if not hasattr(trainer, "_fedmlp_harvest"):
+        trainer._fedmlp_harvest = rt.make_harvest_fn(
+            trainer.model, trainer.cfg.data.mean, trainer.cfg.data.std,
+            batch_size=trainer.cfg.batch_size * 4,
+        )
+    return trainer._fedmlp_harvest
+
+
+def _get_stage2_fn(trainer):
+    if not hasattr(trainer, "_fedmlp_stage2_fn"):
+        trainer._fedmlp_stage2_fn = rt.make_local_round(
+            trainer.model,
+            stage2_loss_fn,
+            lr=trainer.cfg.base_lr,
+            batch_size=trainer.cfg.batch_size,
+            mean=trainer.cfg.data.mean,
+            std=trainer.cfg.data.std,
+            view_mode="dual",
+            needs_global=True,
+            donate=True,
+        )
+    return trainer._fedmlp_stage2_fn
+
+
+def _aggregate_tao_proto(trainer, taos, protos, rnd):
+    st = trainer.server_state
+    neg_mask = (~np.asarray(trainer.fd.active)).T  # [C, K] clients missing c
+    act_mask = np.asarray(trainer.fd.active).T  # [C, K]
+    st["tao"] = np.asarray(
+        fedavg_tao(taos, trainer.dict_len, neg_mask)
+    )
+    st["proto"] = np.asarray(
+        fedavg_proto(protos, trainer.dict_len, act_mask)
+    )  # λ=1: full replacement (main.py:233-234)
+
+
+def custom_round(trainer, rnd: int):
+    cfg = trainer.cfg
+    stage1_rounds = cfg.fedmlp.rounds_stage1
+    if rnd < stage1_rounds:
+        svars, losses = trainer.local_pass(
+            trainer.round_fn, {"labels": trainer.fd.obs_targets},
+            trainer.round_scalars(rnd),
+        )
+        if rnd == stage1_rounds - 1:
+            harvest = _get_harvest(trainer)
+            feats, probs = harvest(
+                svars, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+            )
+            taos, protos = _extract_stats(trainer, feats, probs)
+            _aggregate_tao_proto(trainer, taos, protos, rnd)
+        trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+        return losses
+
+    # ---------------- stage 2 ----------------
+    harvest = _get_harvest(trainer)
+    gstack = rt.broadcast_to_clients(trainer.global_vars, trainer.n_clients)
+    feats, probs = harvest(
+        gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+    )
+    proto = jnp.asarray(trainer.server_state["proto"])
+    scores = np.asarray(
+        jax.vmap(lambda f: fedmlp_similarity_scores(f, proto))(feats)
+    )  # [K, M, C]
+    _update_tags(trainer, scores)
+
+    sample_arrays = _stage2_sample_arrays(trainer)
+    scalars = trainer.round_scalars(rnd)
+    scalars["stage2_distill"] = jnp.float32(
+        1.0 if cfg.fedmlp.stage2_distill else 0.0
+    )
+    svars, losses = trainer.local_pass(_get_stage2_fn(trainer), sample_arrays,
+                                       scalars)
+
+    feats, probs = harvest(
+        svars, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+    )
+    taos, protos = _extract_stats(trainer, feats, probs)
+    _aggregate_tao_proto(trainer, taos, protos, rnd)
+    trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+    return losses

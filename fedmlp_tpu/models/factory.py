@@ -82,9 +82,13 @@ def build_model(
 
 def init_model(model, rng, image_size: int, channels: int = 3, batch: int = 1):
     """Initialize variables with a dummy batch; returns the variables dict
-    ({'params': ..., 'batch_stats': ...})."""
+    ({'params': ..., 'batch_stats': ...}).
+
+    The init is jitted: on remote-tunneled TPU backends an eager init runs
+    one RPC per op and takes minutes; compiled it is milliseconds."""
     dummy = jnp.zeros((batch, image_size, image_size, channels), jnp.float32)
-    return model.init(rng, dummy, train=False)
+    init_fn = jax.jit(lambda r, d: model.init(r, d, train=False))
+    return init_fn(rng, dummy)
 
 
 def count_params(variables) -> int:

@@ -212,9 +212,11 @@ def make_local_round(
 ):
     """Build a jitted function running S local steps for ALL clients.
 
-    ``loss_fn(params, batch_stats, model, views, labels, svalid, ctx,
+    ``loss_fn(params, batch_stats, model, views, sample, svalid, ctx,
     rng, scalars) -> (loss, (new_batch_stats, aux))`` operates on ONE
     client's batch; the engine vmaps it over the stacked client axis.
+    ``sample`` is a dict of per-sample arrays gathered from the caller's
+    [K, M, ...] tables ('labels' by convention; algorithms may add masks).
 
     views: dict with keys 'x' (single) or 'x1','x2' plus, when
     ``needs_global``, 'g_probs1'/'g_probs2' — frozen-global sigmoid outputs
@@ -234,7 +236,7 @@ def make_local_round(
             x2 = A.strong_augment_batch(imgs_u8, k2, mean, std)
         return {"x1": x1, "x2": x2}
 
-    def client_step(vars_k, opt_k, imgs_u8, labels, svalid, ctx, global_vars,
+    def client_step(vars_k, opt_k, imgs_u8, sample, svalid, ctx, global_vars,
                     key, scalars):
         ka, kl = jax.random.split(key)
         views = augment_views(imgs_u8, ka)
@@ -252,7 +254,7 @@ def make_local_round(
         rest = {k: v for k, v in vars_k.items() if k != "params"}
 
         def lf(p):
-            return loss_fn(p, rest, model, views, labels, svalid, ctx, kl, scalars)
+            return loss_fn(p, rest, model, views, sample, svalid, ctx, kl, scalars)
 
         (loss, (new_rest, aux)), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_k, params)
@@ -270,11 +272,16 @@ def make_local_round(
         out_axes=(0, 0, 0, 0, 0),
     )
 
-    def round_fn(stacked_vars, global_vars, fd_images, fd_obs, fd_idx, ctx,
-                 pos, pos_valid, rng_key, scalars):
+    def round_fn(stacked_vars, global_vars, fd_images, sample_arrays, fd_idx,
+                 ctx, pos, pos_valid, rng_key, scalars):
         K = pos.shape[1]
         opt_state = jax.vmap(tx.init)(stacked_vars["params"])
-        S = pos.shape[0]
+
+        def gather_sample(arr, step_pos):
+            # arr [K, M, ...] gathered along M by step_pos [K, B]
+            expand = step_pos.reshape(step_pos.shape + (1,) * (arr.ndim - 2))
+            idx = jnp.broadcast_to(expand, step_pos.shape + arr.shape[2:])
+            return jnp.take_along_axis(arr, idx, axis=1)
 
         def body(carry, xs):
             svars, sopt, key, loss_sum, cnt = carry
@@ -283,11 +290,11 @@ def make_local_round(
             keys = jax.random.split(sub, K)
             gidx = jnp.take_along_axis(fd_idx, step_pos, axis=1)  # [K, B]
             imgs = fd_images[gidx]  # [K, B, H, W, 3]
-            labels = jnp.take_along_axis(
-                fd_obs, step_pos[:, :, None], axis=1
-            )  # [K, B, C]
+            sample = {
+                k: gather_sample(v, step_pos) for k, v in sample_arrays.items()
+            }
             svars, sopt, loss, has_any, _ = vstep(
-                svars, sopt, imgs, labels, step_valid, ctx, global_vars,
+                svars, sopt, imgs, sample, step_valid, ctx, global_vars,
                 keys, scalars,
             )
             return (svars, sopt, key, loss_sum + loss, cnt + has_any), None
@@ -304,6 +311,54 @@ def make_local_round(
         return svars, mean_loss
 
     return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+
+
+# ----------------------------------------------------------------------
+# Full-dataset harvest: per-client features + probs over the padded table
+# (FedMLP prototype/τ extraction passes, reference:
+#  utils/local_training.py:971-1002, 1023-1049, 1208-1250 — the reference
+#  re-walks its DataLoader; here it is one scanned, vmapped forward)
+# ----------------------------------------------------------------------
+
+def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True):
+    """Build jit fn: (stacked_vars, images, idx[K,M], key) →
+    (features [K, M, D], probs [K, M, C]).
+
+    ``augment_weak`` matches the reference's use of the image_aug_1 weak
+    view for prototype extraction (utils/local_training.py:982)."""
+
+    def one_batch(vars_k, imgs_u8, key):
+        if augment_weak:
+            x = A.weak_augment_batch(imgs_u8, key, mean, std)
+        else:
+            x = A.eval_batch(imgs_u8, mean, std)
+        feature, logits = model.apply(vars_k, x, train=False)
+        return feature, jax.nn.sigmoid(logits)
+
+    vbatch = jax.vmap(one_batch, in_axes=(0, 0, 0))
+
+    @jax.jit
+    def harvest(stacked_vars, images, idx, key):
+        K, M = idx.shape
+        nb = (M + batch_size - 1) // batch_size
+        pad = nb * batch_size - M
+        idx_p = jnp.pad(idx, ((0, 0), (0, pad)), mode="edge")
+        pos = idx_p.reshape(K, nb, batch_size).transpose(1, 0, 2)  # [nb, K, B]
+
+        def body(key, step_idx_pos):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, K)
+            imgs = images[step_idx_pos]  # [K, B, H, W, 3]
+            f, p = vbatch(stacked_vars, imgs, keys)
+            return key, (f, p)
+
+        _, (feats, probs) = jax.lax.scan(body, key, pos)
+        # [nb, K, B, D] → [K, M, D]
+        feats = feats.transpose(1, 0, 2, 3).reshape(K, nb * batch_size, -1)[:, :M]
+        probs = probs.transpose(1, 0, 2, 3).reshape(K, nb * batch_size, -1)[:, :M]
+        return feats, probs
+
+    return harvest
 
 
 # ----------------------------------------------------------------------

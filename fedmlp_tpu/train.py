@@ -145,9 +145,11 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
-    def run_round(self, rnd: int) -> RoundRecord:
+    def local_pass(self, round_fn, sample_arrays: dict, scalars: dict):
+        """One local-training pass for all clients with fresh batch plans;
+        returns (stacked_vars, mean_losses). Shared by default rounds and
+        algorithm custom_round implementations."""
         cfg = self.cfg
-        t0 = time.time()
         pos, pos_valid, _ = rt.make_batch_plan(
             self.rng, np.asarray(self.fd.valid), cfg.batch_size, cfg.local_ep
         )
@@ -155,12 +157,32 @@ class Trainer:
         if self.mesh is not None and self.n_clients % self.mesh.shape["client"] == 0:
             stacked = shard_stacked(self.mesh, stacked)
         self._jkey, sub = jax.random.split(self._jkey)
-
-        scalars = self.round_scalars(rnd)
-        svars, losses = self.round_fn(
-            stacked, self.global_vars, self.fd.images, self.fd.obs_targets,
+        return round_fn(
+            stacked, self.global_vars, self.fd.images, sample_arrays,
             self.fd.idx, self.client_ctx(), jnp.asarray(pos),
             jnp.asarray(pos_valid), sub, scalars,
+        )
+
+    def next_key(self):
+        self._jkey, sub = jax.random.split(self._jkey)
+        return sub
+
+    # ------------------------------------------------------------------
+    def run_round(self, rnd: int) -> RoundRecord:
+        cfg = self.cfg
+        t0 = time.time()
+        if hasattr(self.algo, "custom_round"):
+            losses = self.algo.custom_round(self, rnd)
+            rec = RoundRecord(rnd, np.asarray(losses).tolist(), None,
+                              time.time() - t0)
+            if (rnd + 1) % cfg.eval_every == 0 or rnd == cfg.rounds_warmup - 1:
+                rec.metrics = self.evaluate()
+                log.info("round %d metrics: %s", rnd, rec.metrics)
+            self.history.append(rec)
+            return rec
+        scalars = self.round_scalars(rnd)
+        svars, losses = self.local_pass(
+            self.round_fn, {"labels": self.fd.obs_targets}, scalars
         )
 
         # server aggregation (algorithm may override)
