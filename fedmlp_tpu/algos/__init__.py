@@ -1,6 +1,16 @@
 """Federated algorithm registry."""
 
-from fedmlp_tpu.algos import fedavg, fedmlp
+from fedmlp_tpu.algos import (
+    cbafed,
+    fedavg,
+    fedirm,
+    fedlsr,
+    fedmlp,
+    fednoro,
+    fixmatch,
+    rofl,
+    rscfed,
+)
 
 _REGISTRY = {}
 
@@ -18,3 +28,10 @@ def get_algorithm(name: str):
 register("fedavg", fedavg)
 register("centralized", fedavg)  # single-client degenerate case
 register("fedmlp", fedmlp)
+register("fednoro", fednoro)
+register("cbafed", cbafed)
+register("fixmatch", fixmatch)
+register("fedlsr", fedlsr)
+register("rscfed", rscfed)
+register("fedirm", fedirm)
+register("rofl", rofl)

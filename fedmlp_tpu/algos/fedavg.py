@@ -17,7 +17,7 @@ VIEW_MODE = "single"
 NEEDS_GLOBAL = False
 
 
-def loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
+def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
     _, logits, new_rest = apply_train(model, params, rest, views["x"])
     elem = L.bce_with_logits(logits, labels, ctx["loss_w"])

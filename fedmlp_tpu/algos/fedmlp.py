@@ -58,7 +58,7 @@ NEEDS_GLOBAL = True
 # Stage-1 loss (engine-compatible)
 # ----------------------------------------------------------------------
 
-def loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
+def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
     _, logits1, rest1 = apply_train(model, params, rest, views["x1"])
     _, logits2, rest2 = apply_train(model, params, rest1, views["x2"])
@@ -66,8 +66,10 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
     p2 = jax.nn.sigmoid(logits2)
     B, C = logits1.shape
 
+    g1 = jax.nn.sigmoid(views["g_logits1"])
+    g2 = jax.nn.sigmoid(views["g_logits2"])
     sup = (L.bce_on_probs(p1, labels) + L.bce_on_probs(p2, labels)) / 2.0
-    dis = ((p1 - views["g_probs1"]) ** 2 + (p2 - views["g_probs2"]) ** 2) / 2.0
+    dis = ((p1 - g1) ** 2 + (p2 - g2) ** 2) / 2.0
     sup = masked_rows(sup, svalid)
     dis = masked_rows(dis, svalid)
     active, negative = ctx["active"], ctx["negative"]
@@ -80,7 +82,8 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
 # Stage-2 loss: supervised-only on view 1 over confident cells
 # ----------------------------------------------------------------------
 
-def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars):
+def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
+                   rng, scalars):
     labels = sample["labels"]
     supmask = sample["supmask"]  # [B, C] — active ∪ tagged classes
     _, logits1, rest1 = apply_train(model, params, rest, views["x1"])
@@ -91,7 +94,8 @@ def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, rng, scalars
     distill_w = scalars.get("stage2_distill", jnp.float32(0.0))
     # paper-behavior term, disabled by default (released code comments it out)
     dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[:, None]
-    dis = ((p1 - views["g_probs1"]) ** 2) * dcell
+    g1 = jax.nn.sigmoid(views["g_logits1"])
+    dis = ((p1 - g1) ** 2) * dcell
     denom = jnp.maximum(cell.sum() + dcell.sum(), 1.0)
     loss_with_distill = (sup.sum() + dis.sum()) / denom
     return jnp.where(distill_w > 0, loss_with_distill, loss), (rest1, {})
@@ -236,10 +240,11 @@ def custom_round(trainer, rnd: int):
     cfg = trainer.cfg
     stage1_rounds = cfg.fedmlp.rounds_stage1
     if rnd < stage1_rounds:
-        svars, losses = trainer.local_pass(
+        out_state, losses, _ = trainer.local_pass(
             trainer.round_fn, {"labels": trainer.fd.obs_targets},
             trainer.round_scalars(rnd),
         )
+        svars = out_state["vars"]
         if rnd == stage1_rounds - 1:
             harvest = _get_harvest(trainer)
             feats, probs = harvest(
@@ -267,8 +272,10 @@ def custom_round(trainer, rnd: int):
     scalars["stage2_distill"] = jnp.float32(
         1.0 if cfg.fedmlp.stage2_distill else 0.0
     )
-    svars, losses = trainer.local_pass(_get_stage2_fn(trainer), sample_arrays,
-                                       scalars)
+    out_state, losses, _ = trainer.local_pass(
+        _get_stage2_fn(trainer), sample_arrays, scalars
+    )
+    svars = out_state["vars"]
 
     feats, probs = harvest(
         svars, trainer.fd.images, trainer.fd.idx, trainer.next_key()

@@ -1,0 +1,48 @@
+"""FedNoRo (noisy-label FL).
+
+Local warm-up step (reference: utils/local_training.py:115-161, the only
+branch main.py wires — rounds_FedNoRo_warmup defaults to all rounds,
+main.py:140-144): student = arriving global, teacher = frozen copy of the
+same; loss = LA_KD (utils/FedNoRo.py:25-38):
+    (1-w_kd)·BCE(σ(logits), y) over active classes
+  +    w_kd ·MSE(σ(logits), σ(teacher_logits / 0.8)) over missing classes
+with w_kd = sigmoid_rampup_bounded(rnd, begin, end) · a (main.py:128).
+
+Server: plain FedAvg (main.py:269-272). The post-warmup clean/noisy client
+split (GMM detection + DaAgg, utils/FedNoRo.py:84-103) exists in the
+reference but is never invoked by main.py; DaAgg is available in
+fedmlp_tpu.fl for completeness.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fedmlp_tpu.algos.base import apply_train, masked_rows
+from fedmlp_tpu.ops import losses as L
+
+VIEW_MODE = "single"
+NEEDS_GLOBAL = True
+
+
+def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
+    labels = sample["labels"]
+    _, logits, new_rest = apply_train(model, params, rest, views["x"])
+    probs = jax.nn.sigmoid(logits)
+    soft = jax.nn.sigmoid(views["g_logits"] / 0.8)  # teacher temperature
+    B = logits.shape[0]
+
+    bce = masked_rows(L.bce_on_probs(probs, labels), svalid)
+    mse = masked_rows((probs - soft) ** 2, svalid)
+    active, negative = ctx["active"], ctx["negative"]
+    bce_m = (bce * active[None, :]).sum() / (B * jnp.maximum(active.sum(), 1.0))
+    kl_m = (mse * negative[None, :]).sum() / (B * jnp.maximum(negative.sum(), 1.0))
+    w = scalars["weight_kd"]
+    return w * kl_m + (1.0 - w) * bce_m, (new_rest, {})
+
+
+def round_scalars(trainer, rnd):
+    cfg = trainer.cfg.fednoro
+    w = L.sigmoid_rampup_bounded(rnd, cfg.begin, cfg.end) * cfg.a
+    return {"weight_kd": jnp.float32(w)}

@@ -207,22 +207,38 @@ def make_local_round(
     std,
     view_mode: str = "single",  # 'single' | 'dual' | 'weak_strong'
     needs_global: bool = False,
+    teacher_decay: float | None = None,  # per-step EMA teacher (RSCFed 0.999)
+    teacher_iter_corrected: bool = False,  # FedIRM: α = min(1-1/(it+1), decay)
+    teacher_scope: str = "all",  # 'all' EMAs params+BN; 'params' params only
+    post_step: Callable | None = None,  # (cstate, aux, sample, svalid, ctx)
     weight_decay: float = 5e-4,
     donate: bool = True,
 ):
     """Build a jitted function running S local steps for ALL clients.
 
-    ``loss_fn(params, batch_stats, model, views, sample, svalid, ctx,
-    rng, scalars) -> (loss, (new_batch_stats, aux))`` operates on ONE
-    client's batch; the engine vmaps it over the stacked client axis.
-    ``sample`` is a dict of per-sample arrays gathered from the caller's
-    [K, M, ...] tables ('labels' by convention; algorithms may add masks).
+    ``loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
+    rng, scalars) -> (loss, (new_rest, aux))`` operates on ONE client's
+    batch; the engine vmaps it over the stacked client axis.
 
-    views: dict with keys 'x' (single) or 'x1','x2' plus, when
-    ``needs_global``, 'g_probs1'/'g_probs2' — frozen-global sigmoid outputs
-    (reference stage-1 distillation, utils/local_training.py:943-947).
+    * ``sample`` — dict of per-sample arrays gathered from [K, M, ...]
+      tables ('labels' by convention; algorithms add masks).
+    * ``views`` — 'x' (single) or 'x1'/'x2'; plus frozen-global logits
+      'g_logits'/'g_logits1'/'g_logits2' when ``needs_global`` (reference
+      stage-1 distillation, utils/local_training.py:943-947); plus teacher
+      logits 't_logits' / 't_logits2' when a teacher is configured.
+    * ``cstate`` — per-client persistent state (e.g. RoFL centroids),
+      threaded through the scan and updated by ``post_step``.
+    * ``aux`` — a pytree of per-step outputs, summed over steps and
+      returned (FedIRM confusion matrices, CBAFed counters).
+
+    The returned ``round_fn(state, data, plan, scalars)`` takes
+      state = {'vars': stacked, ['teacher': stacked], ['cstate': pytree]}
+      data  = {'images', 'sample_arrays', 'idx', 'ctx', 'global_vars'}
+      plan  = {'pos' [S,K,B], 'pos_valid' [S,K,B], 'key', 'iter0'}
+    and returns (state', mean_losses [K], aux_sum).
     """
     tx = torch_adam(lr, weight_decay)
+    has_teacher = teacher_decay is not None
 
     def augment_views(imgs_u8, key):
         if view_mode == "single":
@@ -236,25 +252,30 @@ def make_local_round(
             x2 = A.strong_augment_batch(imgs_u8, k2, mean, std)
         return {"x1": x1, "x2": x2}
 
-    def client_step(vars_k, opt_k, imgs_u8, sample, svalid, ctx, global_vars,
-                    key, scalars):
+    def client_step(vars_k, opt_k, teacher_k, cstate_k, imgs_u8, sample,
+                    svalid, ctx, global_vars, key, it, scalars):
         ka, kl = jax.random.split(key)
         views = augment_views(imgs_u8, ka)
         if needs_global:
             if view_mode == "single":
                 _, glog = model.apply(global_vars, views["x"], train=False)
-                views["g_probs"] = jax.nn.sigmoid(glog)
+                views["g_logits"] = glog
             else:
                 _, g1 = model.apply(global_vars, views["x1"], train=False)
                 _, g2 = model.apply(global_vars, views["x2"], train=False)
-                views["g_probs1"] = jax.nn.sigmoid(g1)
-                views["g_probs2"] = jax.nn.sigmoid(g2)
+                views["g_logits1"] = g1
+                views["g_logits2"] = g2
+        if has_teacher:
+            tv = views["x"] if view_mode == "single" else views["x2"]
+            _, tlog = model.apply(teacher_k, tv, train=False)
+            views["t_logits2" if view_mode != "single" else "t_logits"] = tlog
 
         params = vars_k["params"]
         rest = {k: v for k, v in vars_k.items() if k != "params"}
 
         def lf(p):
-            return loss_fn(p, rest, model, views, sample, svalid, ctx, kl, scalars)
+            return loss_fn(p, rest, model, views, sample, svalid, ctx,
+                           cstate_k, kl, scalars)
 
         (loss, (new_rest, aux)), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_k, params)
@@ -264,27 +285,57 @@ def make_local_round(
         new_params = optax.apply_updates(params, updates)
         new_vars = dict(new_rest)
         new_vars["params"] = new_params
-        return new_vars, new_opt, loss * has_any, has_any, aux
+
+        new_teacher = teacher_k
+        if has_teacher:
+            alpha = jnp.float32(teacher_decay)
+            if teacher_iter_corrected:
+                alpha = jnp.minimum(1.0 - 1.0 / (it + 1.0), alpha)
+            # skip EMA on padding steps too
+            alpha = jnp.where(has_any > 0, alpha, 1.0)
+
+            def ema(t, s):
+                return alpha * t + (1.0 - alpha) * s.astype(t.dtype)
+
+            if teacher_scope == "params":
+                new_teacher = dict(teacher_k)
+                new_teacher["params"] = jax.tree_util.tree_map(
+                    ema, teacher_k["params"], new_params
+                )
+            else:
+                new_teacher = jax.tree_util.tree_map(ema, teacher_k, new_vars)
+
+        new_cstate = cstate_k
+        if post_step is not None:
+            new_cstate = post_step(cstate_k, aux, sample, svalid, ctx)
+        return new_vars, new_opt, new_teacher, new_cstate, loss * has_any, has_any, aux
 
     vstep = jax.vmap(
         client_step,
-        in_axes=(0, 0, 0, 0, 0, 0, None, 0, None),
-        out_axes=(0, 0, 0, 0, 0),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, None, None),
+        out_axes=(0, 0, 0, 0, 0, 0, 0),
     )
 
-    def round_fn(stacked_vars, global_vars, fd_images, sample_arrays, fd_idx,
-                 ctx, pos, pos_valid, rng_key, scalars):
+    def round_fn(state, data, plan, scalars):
+        pos, pos_valid = plan["pos"], plan["pos_valid"]
         K = pos.shape[1]
+        stacked_vars = state["vars"]
+        teacher = state.get("teacher", {"params": jnp.zeros((K, 0))})
+        cstate = state.get("cstate", jnp.zeros((K, 0)))
         opt_state = jax.vmap(tx.init)(stacked_vars["params"])
+        fd_images = data["images"]
+        fd_idx = data["idx"]
+        ctx = data["ctx"]
+        global_vars = data["global_vars"]
+        sample_arrays = data["sample_arrays"]
 
         def gather_sample(arr, step_pos):
-            # arr [K, M, ...] gathered along M by step_pos [K, B]
             expand = step_pos.reshape(step_pos.shape + (1,) * (arr.ndim - 2))
             idx = jnp.broadcast_to(expand, step_pos.shape + arr.shape[2:])
             return jnp.take_along_axis(arr, idx, axis=1)
 
         def body(carry, xs):
-            svars, sopt, key, loss_sum, cnt = carry
+            svars, sopt, stea, scst, key, it, loss_sum, cnt, aux_sum = carry
             step_pos, step_valid = xs  # [K, B]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, K)
@@ -293,25 +344,49 @@ def make_local_round(
             sample = {
                 k: gather_sample(v, step_pos) for k, v in sample_arrays.items()
             }
-            svars, sopt, loss, has_any, _ = vstep(
-                svars, sopt, imgs, sample, step_valid, ctx, global_vars,
-                keys, scalars,
+            sample["_pos"] = step_pos  # table positions, for cstate scatters
+            svars, sopt, stea, scst, loss, has_any, aux = vstep(
+                svars, sopt, stea, scst, imgs, sample, step_valid, ctx,
+                global_vars, keys, it, scalars,
             )
-            return (svars, sopt, key, loss_sum + loss, cnt + has_any), None
+            if aux_sum is None:
+                new_aux = aux
+            else:
+                new_aux = jax.tree_util.tree_map(jnp.add, aux_sum, aux)
+            return (
+                svars, sopt, stea, scst, key, it + 1.0,
+                loss_sum + loss, cnt + has_any, new_aux,
+            ), None
+
+        # probe aux structure with zeros so scan carry is well-typed
+        aux0 = jax.eval_shape(
+            lambda: body(
+                (stacked_vars, opt_state, teacher, cstate, plan["key"],
+                 plan["iter0"], jnp.zeros((K,)), jnp.zeros((K,)), None),
+                (pos[0], pos_valid[0]),
+            )[0][8]
+        )
+        aux0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), aux0
+        )
 
         init = (
-            stacked_vars,
-            opt_state,
-            rng_key,
-            jnp.zeros((K,), jnp.float32),
-            jnp.zeros((K,), jnp.float32),
+            stacked_vars, opt_state, teacher, cstate, plan["key"],
+            plan["iter0"], jnp.zeros((K,), jnp.float32),
+            jnp.zeros((K,), jnp.float32), aux0,
         )
-        (svars, _, _, loss_sum, cnt), _ = jax.lax.scan(body, init, (pos, pos_valid))
+        (svars, _, stea, scst, _, _, loss_sum, cnt, aux_sum), _ = jax.lax.scan(
+            body, init, (pos, pos_valid)
+        )
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
-        return svars, mean_loss
+        out_state = {"vars": svars}
+        if "teacher" in state:
+            out_state["teacher"] = stea
+        if "cstate" in state:
+            out_state["cstate"] = scst
+        return out_state, mean_loss, aux_sum
 
     return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
-
 
 # ----------------------------------------------------------------------
 # Full-dataset harvest: per-client features + probs over the padded table

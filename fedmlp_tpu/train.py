@@ -132,23 +132,30 @@ class Trainer:
             batch_size=cfg.batch_size * 4,
         )
         self._jkey = jax.random.PRNGKey(cfg.seed)
+        self.iter_num = 0  # lifetime local-step counter (reference iter_num)
 
     # ------------------------------------------------------------------
     def client_ctx(self) -> dict:
         fd = self.fd
+        active_f = fd.active.astype(jnp.float32)
+        # loss_w_unknown: 1 everywhere except active classes (reference:
+        # utils/local_training.py:41-42)
+        loss_w_unknown = active_f * fd.loss_w + (1.0 - active_f)
         return {
-            "active": fd.active.astype(jnp.float32),
-            "negative": 1.0 - fd.active.astype(jnp.float32),
+            "active": active_f,
+            "negative": 1.0 - active_f,
             "loss_w": fd.loss_w,
+            "loss_w_unknown": loss_w_unknown,
             "class_num": fd.class_num,
             "n_local": fd.n_local.astype(jnp.float32),
         }
 
     # ------------------------------------------------------------------
-    def local_pass(self, round_fn, sample_arrays: dict, scalars: dict):
+    def local_pass(self, round_fn, sample_arrays: dict, scalars: dict,
+                   extra_state: dict | None = None):
         """One local-training pass for all clients with fresh batch plans;
-        returns (stacked_vars, mean_losses). Shared by default rounds and
-        algorithm custom_round implementations."""
+        returns (state, mean_losses, aux). ``extra_state`` may carry
+        'teacher'/'cstate' entries for algorithms that persist them."""
         cfg = self.cfg
         pos, pos_valid, _ = rt.make_batch_plan(
             self.rng, np.asarray(self.fd.valid), cfg.batch_size, cfg.local_ep
@@ -157,11 +164,25 @@ class Trainer:
         if self.mesh is not None and self.n_clients % self.mesh.shape["client"] == 0:
             stacked = shard_stacked(self.mesh, stacked)
         self._jkey, sub = jax.random.split(self._jkey)
-        return round_fn(
-            stacked, self.global_vars, self.fd.images, sample_arrays,
-            self.fd.idx, self.client_ctx(), jnp.asarray(pos),
-            jnp.asarray(pos_valid), sub, scalars,
-        )
+        state = {"vars": stacked}
+        if extra_state:
+            state.update(extra_state)
+        data = {
+            "images": self.fd.images,
+            "sample_arrays": sample_arrays,
+            "idx": self.fd.idx,
+            "ctx": self.client_ctx(),
+            "global_vars": self.global_vars,
+        }
+        plan = {
+            "pos": jnp.asarray(pos),
+            "pos_valid": jnp.asarray(pos_valid),
+            "key": sub,
+            "iter0": jnp.float32(self.iter_num),
+        }
+        out_state, losses, aux = round_fn(state, data, plan, scalars)
+        self.iter_num += pos.shape[0]
+        return out_state, losses, aux
 
     def next_key(self):
         self._jkey, sub = jax.random.split(self._jkey)
@@ -181,9 +202,10 @@ class Trainer:
             self.history.append(rec)
             return rec
         scalars = self.round_scalars(rnd)
-        svars, losses = self.local_pass(
+        state, losses, _ = self.local_pass(
             self.round_fn, {"labels": self.fd.obs_targets}, scalars
         )
+        svars = state["vars"]
 
         # server aggregation (algorithm may override)
         if hasattr(self.algo, "server_update"):
