@@ -99,6 +99,10 @@ def _get_pseudo_fn(trainer):
     return trainer._cbafed_pseudo_fn
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("w_new",))
 def _residual_mix(new_tree, res_tree, w_new):
     return jax.tree_util.tree_map(
         lambda a, b: w_new * a + (1.0 - w_new) * b, new_tree, res_tree
@@ -119,7 +123,7 @@ def custom_round(trainer, rnd: int):
         data_nums = np.asarray(aux["data_num"])  # [K]
         active = np.asarray(trainer.fd.active)
         class_nums = active * data_nums[:, None]
-        w_new = agg_fedavg(svars, trainer.dict_len)
+        w_new = trainer.aggregate(svars, trainer.dict_len)
         if rnd % 5 == 0:
             if rnd == 0 or st["residual"] is None:
                 trainer.global_vars = w_new
@@ -141,7 +145,7 @@ def custom_round(trainer, rnd: int):
     class_nums = np.asarray(aux["class_num"])  # [K, C]
     data_nums = np.asarray(aux["data_num"])  # [K]
     wti = data_nums / max(data_nums.sum(), 1e-12)
-    w_new = agg_fedavg(svars, wti)
+    w_new = trainer.aggregate(svars, wti)
     if (rnd - warmup) % 5 == 0:
         if rnd - warmup == 0 or st["residual"] is None:
             trainer.global_vars = w_new

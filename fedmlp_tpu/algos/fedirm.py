@@ -137,7 +137,7 @@ def custom_round(trainer, rnd: int):
             trainer.round_fn, {"labels": trainer.fd.obs_targets}, scalars
         )
         svars = out_state["vars"]
-        trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+        trainer.global_vars = trainer.aggregate(svars, trainer.dict_len)
         if rnd == cfg.rounds_sup - 1:
             cms = np.asarray(aux["confusion"]) / np.asarray(aux["steps"])[:, None, None]
             _aggregate_relation(trainer, cms)
@@ -146,9 +146,7 @@ def custom_round(trainer, rnd: int):
     # relation phase — teacher initialized from the arriving global model
     # at the first relation round (reference :393-396)
     if not st["ema_init"] or not hasattr(trainer, "_fedirm_teacher"):
-        trainer._fedirm_teacher = rt.broadcast_to_clients(
-            trainer.global_vars, trainer.n_clients
-        )
+        trainer._fedirm_teacher = trainer.broadcast(trainer.global_vars)
         st["ema_init"] = True
     scalars["target_matrix"] = jnp.asarray(st["relation"])
     scalars["consistency_weight"] = jnp.float32(
@@ -160,7 +158,7 @@ def custom_round(trainer, rnd: int):
     )
     trainer._fedirm_teacher = out_state["teacher"]
     svars = out_state["vars"]
-    trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+    trainer.global_vars = trainer.aggregate(svars, trainer.dict_len)
     cms = np.asarray(aux["confusion"]) / np.asarray(aux["steps"])[:, None, None]
     _aggregate_relation(trainer, cms)
     return losses

@@ -125,7 +125,9 @@ def _extract_stats(trainer, feats, probs):
         t = t * (1.0 - active)  # reference only fills missing classes
         return t, proto
 
-    taos, protos = jax.vmap(one)(
+    if not hasattr(trainer, "_fedmlp_extract_jit"):
+        trainer._fedmlp_extract_jit = jax.jit(jax.vmap(one))
+    taos, protos = trainer._fedmlp_extract_jit(
         feats, probs, fd.obs_targets, fd.valid.astype(jnp.float32),
         fd.active.astype(jnp.float32),
     )
@@ -252,19 +254,21 @@ def custom_round(trainer, rnd: int):
             )
             taos, protos = _extract_stats(trainer, feats, probs)
             _aggregate_tao_proto(trainer, taos, protos, rnd)
-        trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+        trainer.global_vars = trainer.aggregate(svars, trainer.dict_len)
         return losses
 
     # ---------------- stage 2 ----------------
     harvest = _get_harvest(trainer)
-    gstack = rt.broadcast_to_clients(trainer.global_vars, trainer.n_clients)
+    gstack = trainer.broadcast(trainer.global_vars)
     feats, probs = harvest(
         gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key()
     )
     proto = jnp.asarray(trainer.server_state["proto"])
-    scores = np.asarray(
-        jax.vmap(lambda f: fedmlp_similarity_scores(f, proto))(feats)
-    )  # [K, M, C]
+    if not hasattr(trainer, "_fedmlp_score_jit"):
+        trainer._fedmlp_score_jit = jax.jit(
+            jax.vmap(fedmlp_similarity_scores, in_axes=(0, None))
+        )
+    scores = np.asarray(trainer._fedmlp_score_jit(feats, proto))  # [K, M, C]
     _update_tags(trainer, scores)
 
     sample_arrays = _stage2_sample_arrays(trainer)
@@ -282,5 +286,5 @@ def custom_round(trainer, rnd: int):
     )
     taos, protos = _extract_stats(trainer, feats, probs)
     _aggregate_tao_proto(trainer, taos, protos, rnd)
-    trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+    trainer.global_vars = trainer.aggregate(svars, trainer.dict_len)
     return losses

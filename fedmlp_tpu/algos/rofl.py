@@ -195,7 +195,7 @@ def custom_round(trainer, rnd: int):
     C = trainer.fd.n_classes
 
     # 1. eval pass: global-guided pseudo-labels + round-0 centroids
-    gstack = rt.broadcast_to_clients(trainer.global_vars, trainer.n_clients)
+    gstack = trainer.broadcast(trainer.global_vars)
     feats, probs = trainer._rofl_harvest(
         gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key()
     )
@@ -204,11 +204,13 @@ def custom_round(trainer, rnd: int):
     if rnd == 0:
         from fedmlp_tpu.ops.similarity import masked_binary_prototypes
 
-        f_k0 = np.asarray(
-            jax.vmap(
+        if not hasattr(trainer, "_rofl_proto_jit"):
+            trainer._rofl_proto_jit = jax.jit(jax.vmap(
                 lambda f, y, v: masked_binary_prototypes(f, y, v, C)[0]
-            )(feats, trainer.fd.obs_targets, trainer.fd.valid.astype(jnp.float32))
-        )
+            ))
+        f_k0 = np.asarray(trainer._rofl_proto_jit(
+            feats, trainer.fd.obs_targets, trainer.fd.valid.astype(jnp.float32)
+        ))
     else:
         f_k0 = np.broadcast_to(
             st["f_G"][None], (trainer.n_clients,) + st["f_G"].shape
@@ -233,7 +235,7 @@ def custom_round(trainer, rnd: int):
     f_locals = np.asarray(out_state["cstate"]["f_k"])  # [K, 2C, D]
     st["pseudo"] = np.asarray(out_state["cstate"]["pseudo"])
 
-    trainer.global_vars = agg_fedavg(svars, trainer.dict_len)
+    trainer.global_vars = trainer.aggregate(svars, trainer.dict_len)
 
     # centroid aggregation by cosine similarity to f_G (main.py:256-268)
     f_G = st["f_G"]

@@ -61,9 +61,7 @@ def custom_round(trainer, rnd: int):
         trainer._rscfed_round_fn = make_round_fn(trainer)
         # teacher starts as the INITIAL global model (main.py:77) and then
         # persists across rounds
-        trainer._rscfed_teacher = rt.broadcast_to_clients(
-            trainer.global_vars, trainer.n_clients
-        )
+        trainer._rscfed_teacher = trainer.broadcast(trainer.global_vars)
     out_state, losses, _ = trainer.local_pass(
         trainer._rscfed_round_fn, {"labels": trainer.fd.obs_targets},
         trainer.round_scalars(rnd),
@@ -81,5 +79,13 @@ def custom_round(trainer, rnd: int):
             for _ in range(M)
         ]
     )
-    trainer.global_vars = agg_rscfed(dma, svars, K_g, trainer.dict_len, M)
+    if not hasattr(trainer, "_rscfed_agg_jit"):
+        import functools
+        trainer._rscfed_agg_jit = jax.jit(
+            functools.partial(agg_rscfed, K=K_g, M=M),
+            static_argnames=(),
+        )
+    trainer.global_vars = trainer._rscfed_agg_jit(
+        jnp.asarray(dma), svars, dict_len=jnp.asarray(trainer.dict_len, jnp.float32)
+    )
     return losses

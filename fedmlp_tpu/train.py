@@ -134,6 +134,14 @@ class Trainer:
         self._jkey = jax.random.PRNGKey(cfg.seed)
         self.iter_num = 0  # lifetime local-step counter (reference iter_num)
 
+        # jitted tree-level helpers: eager per-leaf ops are pathological on
+        # remote-tunneled backends (~1 RPC per leaf per op)
+        K = self.n_clients
+        self._broadcast_jit = jax.jit(
+            lambda gv: rt.broadcast_to_clients(gv, K)
+        )
+        self._fedavg_jit = jax.jit(agg_fedavg)
+
     # ------------------------------------------------------------------
     def client_ctx(self) -> dict:
         fd = self.fd
@@ -160,7 +168,7 @@ class Trainer:
         pos, pos_valid, _ = rt.make_batch_plan(
             self.rng, np.asarray(self.fd.valid), cfg.batch_size, cfg.local_ep
         )
-        stacked = rt.broadcast_to_clients(self.global_vars, self.n_clients)
+        stacked = self._broadcast_jit(self.global_vars)
         if self.mesh is not None and self.n_clients % self.mesh.shape["client"] == 0:
             stacked = shard_stacked(self.mesh, stacked)
         self._jkey, sub = jax.random.split(self._jkey)
@@ -188,6 +196,13 @@ class Trainer:
         self._jkey, sub = jax.random.split(self._jkey)
         return sub
 
+    def aggregate(self, svars, weights):
+        """Jitted dataset-size-weighted FedAvg over the stacked client axis."""
+        return self._fedavg_jit(svars, jnp.asarray(weights, jnp.float32))
+
+    def broadcast(self, global_vars):
+        return self._broadcast_jit(global_vars)
+
     # ------------------------------------------------------------------
     def run_round(self, rnd: int) -> RoundRecord:
         cfg = self.cfg
@@ -213,7 +228,7 @@ class Trainer:
                 self, rnd, svars, self.server_state
             )
         else:
-            self.global_vars = agg_fedavg(svars, self.dict_len)
+            self.global_vars = self.aggregate(svars, self.dict_len)
 
         rec = RoundRecord(rnd, np.asarray(losses).tolist(), None, time.time() - t0)
 
