@@ -1,0 +1,64 @@
+"""CLI config mapping + checkpoint/resume round-trip."""
+
+import numpy as np
+import pytest
+
+from fedmlp_tpu.cli import args_parser, config_from_args
+from fedmlp_tpu.config import Config, DataConfig
+from fedmlp_tpu.train import Trainer
+from fedmlp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_cli_reference_spellings():
+    a = args_parser(
+        ["--exp", "FeMLP", "--dataset", "ICH", "--rounds_FedMLP_stage1", "7"]
+    )
+    cfg = config_from_args(a)
+    assert cfg.algorithm == "fedmlp"  # FeMLP skew normalized
+    assert cfg.n_clients == 5 and cfg.data.n_classes == 5
+    assert cfg.base_lr == pytest.approx(3e-5)  # ICH preset
+    assert cfg.fedmlp.rounds_stage1 == 7
+
+
+def test_cli_chestxray_preset():
+    a = args_parser(["--exp", "FedAVG", "--dataset", "ChestXray14"])
+    cfg = config_from_args(a)
+    assert cfg.n_clients == 8 and cfg.data.n_classes == 8
+    assert cfg.base_lr == pytest.approx(3e-6)
+
+
+def test_cli_fixmatch_alias():
+    a = args_parser(["--exp", "FedAVG+FixMatch", "--dataset", "synthetic"])
+    cfg = config_from_args(a)
+    assert cfg.algorithm == "fixmatch"
+
+
+def _small_trainer(seed=5):
+    cfg = Config(
+        algorithm="fedavg", model="smallcnn", batch_size=16, base_lr=1e-3,
+        n_clients=4, local_ep=1, rounds_warmup=4, eval_every=100, seed=seed,
+        data=DataConfig(name="synthetic", n_classes=4, image_size=32,
+                        synthetic_train_size=128, synthetic_test_size=32),
+        compute_dtype="float32",
+    )
+    return Trainer(cfg)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    import jax
+
+    t1 = _small_trainer()
+    t1.run_round(0)
+    t1.run_round(1)
+    f = save_checkpoint(str(tmp_path), t1, 1)
+    # continue original
+    t1.run_round(2)
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(t1.global_vars["params"])[0])
+
+    # fresh trainer, resume, rerun round 2
+    t2 = _small_trainer()
+    nxt = load_checkpoint(f, t2)
+    assert nxt == 2
+    t2.run_round(2)
+    leaf = np.asarray(jax.tree_util.tree_leaves(t2.global_vars["params"])[0])
+    np.testing.assert_allclose(leaf, ref_leaf, rtol=1e-6, atol=1e-7)
