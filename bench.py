@@ -21,6 +21,13 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the big round program compiles once per
+    # image, not once per bench invocation
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fedmlp_tpu.config import Config, DataConfig

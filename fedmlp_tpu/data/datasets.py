@@ -88,16 +88,19 @@ def make_synthetic_dataset(
             targets[rng.choice(n, 2, replace=False), c] = 1.0
         if pos > n - 2:
             targets[rng.choice(n, 2, replace=False), c] = 0.0
-    base = rng.randint(0, 256, size=(n, image_size, image_size, 3)).astype(np.float32)
-    # class patterns: positive-mean horizontal bands (one per class, rotating
-    # through channels) — affine-robust and visible to GAP features
-    patt = np.zeros((n_classes, image_size, image_size, 3), np.float32)
+    # uint8 end-to-end with in-place band updates: the full-image float
+    # einsum formulation took ~100s at ImageNet scale (1024×224²)
+    images = rng.randint(0, 256, size=(n, image_size, image_size, 3),
+                         dtype=np.uint8)
     band = max(2, image_size // n_classes)
+    sig = np.uint8(min(255, int(signal)))
     for c in range(n_classes):
         r0 = (c * band) % max(1, image_size - band)
-        patt[c, r0 : r0 + band, :, c % 3] = 1.0
-    overlay = np.einsum("nc,chwk->nhwk", targets, patt) * signal
-    images = np.clip(base + overlay, 0, 255).astype(np.uint8)
+        pos = targets[:, c] == 1
+        sl = images[pos, r0 : r0 + band, :, c % 3]
+        images[pos, r0 : r0 + band, :, c % 3] = np.where(
+            sl > 255 - sig, 255, sl + sig
+        )
     return ArrayDataset(images, targets, tuple(f"c{i}" for i in range(n_classes)), name)
 
 

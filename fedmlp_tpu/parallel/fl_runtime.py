@@ -191,6 +191,22 @@ def tree_index(tree, i):
 
 
 # ----------------------------------------------------------------------
+# Round-data gather (its own jitted program — see round_fn docstring)
+# ----------------------------------------------------------------------
+
+@jax.jit
+def gather_round_data(images, idx, sample_arrays, pos):
+    """(images [N,...], idx [K,M], sample {name: [K,M,...]}, pos [S,K,B])
+    → (imgs [S,K,B,...], sample {name: [S,K,B,...]})."""
+    S, K, B = pos.shape
+    karange = jnp.arange(K)[None, :, None]
+    gidx = idx[karange, pos]  # [S, K, B]
+    imgs = images[gidx]
+    sample = {k: v[karange, pos] for k, v in sample_arrays.items()}
+    return imgs, sample
+
+
+# ----------------------------------------------------------------------
 # Generic local-round executor
 # ----------------------------------------------------------------------
 
@@ -233,9 +249,15 @@ def make_local_round(
 
     The returned ``round_fn(state, data, plan, scalars)`` takes
       state = {'vars': stacked, ['teacher': stacked], ['cstate': pytree]}
-      data  = {'images', 'sample_arrays', 'idx', 'ctx', 'global_vars'}
-      plan  = {'pos' [S,K,B], 'pos_valid' [S,K,B], 'key', 'iter0'}
+      data  = {'ctx', 'global_vars'}
+      plan  = {'images' [S,K,B,H,W,3], 'sample' {name: [S,K,B,...]},
+               'pos' [S,K,B], 'pos_valid' [S,K,B], 'key', 'iter0'}
     and returns (state', mean_losses [K], aux_sum).
+
+    Batch data arrives PRE-GATHERED (see ``gather_round_data``): a dataset
+    gather inside the scan makes the TPU compiler pathologically slow
+    (>20 min for one program vs <1 min without), so gathers run as their
+    own tiny jitted program and the scan consumes dense xs tensors.
     """
     tx = torch_adam(lr, weight_decay)
     has_teacher = teacher_decay is not None
@@ -323,27 +345,15 @@ def make_local_round(
         teacher = state.get("teacher", {"params": jnp.zeros((K, 0))})
         cstate = state.get("cstate", jnp.zeros((K, 0)))
         opt_state = jax.vmap(tx.init)(stacked_vars["params"])
-        fd_images = data["images"]
-        fd_idx = data["idx"]
         ctx = data["ctx"]
         global_vars = data["global_vars"]
-        sample_arrays = data["sample_arrays"]
-
-        def gather_sample(arr, step_pos):
-            expand = step_pos.reshape(step_pos.shape + (1,) * (arr.ndim - 2))
-            idx = jnp.broadcast_to(expand, step_pos.shape + arr.shape[2:])
-            return jnp.take_along_axis(arr, idx, axis=1)
 
         def body(carry, xs):
             svars, sopt, stea, scst, key, it, loss_sum, cnt, aux_sum = carry
-            step_pos, step_valid = xs  # [K, B]
+            imgs, sample, step_pos, step_valid = xs  # pre-gathered [K, B, ...]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, K)
-            gidx = jnp.take_along_axis(fd_idx, step_pos, axis=1)  # [K, B]
-            imgs = fd_images[gidx]  # [K, B, H, W, 3]
-            sample = {
-                k: gather_sample(v, step_pos) for k, v in sample_arrays.items()
-            }
+            sample = dict(sample)
             sample["_pos"] = step_pos  # table positions, for cstate scatters
             svars, sopt, stea, scst, loss, has_any, aux = vstep(
                 svars, sopt, stea, scst, imgs, sample, step_valid, ctx,
@@ -358,12 +368,14 @@ def make_local_round(
                 loss_sum + loss, cnt + has_any, new_aux,
             ), None
 
+        xs = (plan["images"], plan["sample"], pos, pos_valid)
+
         # probe aux structure with zeros so scan carry is well-typed
         aux0 = jax.eval_shape(
             lambda: body(
                 (stacked_vars, opt_state, teacher, cstate, plan["key"],
                  plan["iter0"], jnp.zeros((K,)), jnp.zeros((K,)), None),
-                (pos[0], pos_valid[0]),
+                jax.tree_util.tree_map(lambda x: x[0], xs),
             )[0][8]
         )
         aux0 = jax.tree_util.tree_map(
@@ -376,7 +388,7 @@ def make_local_round(
             jnp.zeros((K,), jnp.float32), aux0,
         )
         (svars, _, stea, scst, _, _, loss_sum, cnt, aux_sum), _ = jax.lax.scan(
-            body, init, (pos, pos_valid)
+            body, init, xs
         )
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
         out_state = {"vars": svars}
@@ -413,22 +425,32 @@ def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True
     vbatch = jax.vmap(one_batch, in_axes=(0, 0, 0))
 
     @jax.jit
-    def harvest(stacked_vars, images, idx, key):
+    def gather_chunks(images, idx):
         K, M = idx.shape
         nb = (M + batch_size - 1) // batch_size
         pad = nb * batch_size - M
         idx_p = jnp.pad(idx, ((0, 0), (0, pad)), mode="edge")
-        pos = idx_p.reshape(K, nb, batch_size).transpose(1, 0, 2)  # [nb, K, B]
+        gidx = idx_p.reshape(K, nb, batch_size).transpose(1, 0, 2)
+        return images[gidx]  # [nb, K, B, H, W, 3]
 
-        def body(key, step_idx_pos):
+    @jax.jit
+    def forward_chunks(stacked_vars, chunks, key):
+        nb, K = chunks.shape[0], chunks.shape[1]
+
+        def body(key, imgs):
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, K)
-            imgs = images[step_idx_pos]  # [K, B, H, W, 3]
             f, p = vbatch(stacked_vars, imgs, keys)
             return key, (f, p)
 
-        _, (feats, probs) = jax.lax.scan(body, key, pos)
-        # [nb, K, B, D] → [K, M, D]
+        _, (feats, probs) = jax.lax.scan(body, key, chunks)
+        return feats, probs
+
+    def harvest(stacked_vars, images, idx, key):
+        K, M = idx.shape
+        nb = (M + batch_size - 1) // batch_size
+        chunks = gather_chunks(images, idx)
+        feats, probs = forward_chunks(stacked_vars, chunks, key)
         feats = feats.transpose(1, 0, 2, 3).reshape(K, nb * batch_size, -1)[:, :M]
         probs = probs.transpose(1, 0, 2, 3).reshape(K, nb * batch_size, -1)[:, :M]
         return feats, probs

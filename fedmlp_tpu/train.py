@@ -9,6 +9,7 @@ prototypes, relation matrices), evaluation cadence, and checkpoints.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -63,19 +64,37 @@ class Trainer:
             )
         assert self.train_ds.n_classes == cfg.data.n_classes
 
-        # ---- partition (reference: dataset/dataset.py:168-180) ----
+        # ---- partition, with on-disk caches keyed like the reference's
+        # iid-dictusers/*.npy files (reference: dataset/dataset.py:168-180)
         if self.dict_users is None:
+            cache = None
+            if cfg.output_dir:
+                tag = (
+                    f"{self.train_ds.name}_{cfg.seed}_{cfg.n_clients}"
+                    + ("" if cfg.iid else f"_{cfg.alpha_dirichlet}")
+                )
+                cache_dir = os.path.join(
+                    cfg.output_dir,
+                    "iid-dictusers" if cfg.iid else "non-iid-dictusers",
+                )
+                cache = os.path.join(cache_dir, tag + ".npy")
             if cfg.algorithm == "centralized" or cfg.n_clients == 1:
                 self.dict_users = {0: list(range(len(self.train_ds)))}
-            elif cfg.iid:
-                self.dict_users = iid_sampling(
-                    len(self.train_ds), cfg.n_clients, cfg.seed
-                )
+            elif cache and os.path.exists(cache):
+                self.dict_users = np.load(cache, allow_pickle=True).item()
             else:
-                self.dict_users = non_iid_dirichlet_sampling(
-                    self.train_ds.targets, cfg.n_classes, 1.0,
-                    cfg.n_clients, cfg.seed, cfg.alpha_dirichlet,
-                )
+                if cfg.iid:
+                    self.dict_users = iid_sampling(
+                        len(self.train_ds), cfg.n_clients, cfg.seed
+                    )
+                else:
+                    self.dict_users = non_iid_dirichlet_sampling(
+                        self.train_ds.targets, cfg.n_classes, 1.0,
+                        cfg.n_clients, cfg.seed, cfg.alpha_dirichlet,
+                    )
+                if cache:
+                    os.makedirs(os.path.dirname(cache), exist_ok=True)
+                    np.save(cache, self.dict_users, allow_pickle=True)
         self.n_clients = len(self.dict_users)
 
         # ---- label hiding (reference: main.py:58-66) ----
@@ -176,14 +195,17 @@ class Trainer:
         if extra_state:
             state.update(extra_state)
         data = {
-            "images": self.fd.images,
-            "sample_arrays": sample_arrays,
-            "idx": self.fd.idx,
             "ctx": self.client_ctx(),
             "global_vars": self.global_vars,
         }
+        pos_j = jnp.asarray(pos)
+        imgs, sample = rt.gather_round_data(
+            self.fd.images, self.fd.idx, sample_arrays, pos_j
+        )
         plan = {
-            "pos": jnp.asarray(pos),
+            "images": imgs,
+            "sample": sample,
+            "pos": pos_j,
             "pos_valid": jnp.asarray(pos_valid),
             "key": sub,
             "iter0": jnp.float32(self.iter_num),
