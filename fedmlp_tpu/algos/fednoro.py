@@ -46,3 +46,54 @@ def round_scalars(trainer, rnd):
     cfg = trainer.cfg.fednoro
     w = L.sigmoid_rampup_bounded(rnd, cfg.begin, cfg.end) * cfg.a
     return {"weight_kd": jnp.float32(w)}
+
+
+# ----------------------------------------------------------------------
+# Post-warm-up: clean-client CE branch (reference :162-190), noisy-client
+# LA_KD branch (:191-231), GMM clean/noisy split + DaAgg aggregation.
+# ----------------------------------------------------------------------
+
+def clean_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
+                  rng, scalars):
+    """Clean clients train plain BCE on active classes (reference
+    :162-190 — LogitAdjust_Multilabel over the criterion's class view)."""
+    labels = sample["labels"]
+    _, logits, new_rest = apply_train(model, params, rest, views["x"])
+    probs = jax.nn.sigmoid(logits)
+    B = logits.shape[0]
+    bce = masked_rows(L.bce_on_probs(probs, labels), svalid)
+    # reference applies the criterion unsliced then .mean-like sum; the
+    # warm-up branch normalizes over active classes — clean branch uses the
+    # full matrix mean (LogitAdjust_Multilabel with no class slice)
+    loss = bce.sum() / (B * logits.shape[1])
+    return loss, (new_rest, {})
+
+
+def init_server_state(trainer):
+    return {"clean": None, "noisy": None}
+
+
+def server_update(trainer, rnd, svars, server_state):
+    """FedAvg during warm-up (main.py:269-272); after rounds_warmup, split
+    clients clean/noisy via a GMM over their mean losses and aggregate with
+    DaAgg (utils/FedNoRo.py:84-103) — the full-pipeline path main.py leaves
+    unwired."""
+    import numpy as np
+
+    from fedmlp_tpu.algos.detection import split_clean_noisy_gmm
+    from fedmlp_tpu.fl import daagg
+
+    cfg = trainer.cfg.fednoro
+    if rnd < cfg.rounds_warmup:
+        return trainer.aggregate(svars, trainer.dict_len), server_state
+    losses = np.asarray(trainer.history[-1].client_losses) if trainer.history \
+        else np.zeros(trainer.n_clients)
+    clean, noisy = split_clean_noisy_gmm(losses, trainer.cfg.seed)
+    server_state = dict(server_state, clean=clean, noisy=noisy)
+    if not noisy:
+        return trainer.aggregate(svars, trainer.dict_len), server_state
+    # jit per (clean, noisy) split — the lists are static in the graph
+    daagg_jit = jax.jit(
+        lambda sv: daagg(sv, trainer.dict_len, clean, noisy)
+    )
+    return daagg_jit(svars), server_state

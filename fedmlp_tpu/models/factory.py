@@ -84,11 +84,24 @@ def init_model(model, rng, image_size: int, channels: int = 3, batch: int = 1):
     """Initialize variables with a dummy batch; returns the variables dict
     ({'params': ..., 'batch_stats': ...}).
 
-    The init is jitted: on remote-tunneled TPU backends an eager init runs
-    one RPC per op and takes minutes; compiled it is milliseconds."""
+    Init runs jitted ON THE HOST CPU backend and transfers once: an eager
+    init over a remote TPU tunnel is one RPC per op (minutes), and even a
+    jitted init pays a large-model compile on the remote compiler; the CPU
+    compile is local and the weights are tiny."""
     dummy = jnp.zeros((batch, image_size, image_size, channels), jnp.float32)
-    init_fn = jax.jit(lambda r, d: model.init(r, d, train=False))
-    return init_fn(rng, dummy)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    default = jax.devices()[0]
+    if cpu is None or default.platform == "cpu":
+        return jax.jit(lambda r, d: model.init(r, d, train=False))(rng, dummy)
+    with jax.default_device(cpu):
+        variables = jax.jit(lambda r, d: model.init(r, d, train=False))(
+            rng, dummy
+        )
+        variables = jax.block_until_ready(variables)
+    return jax.device_put(variables, default)
 
 
 def count_params(variables) -> int:

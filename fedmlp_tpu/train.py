@@ -53,6 +53,17 @@ class Trainer:
     def __post_init__(self):
         cfg = self.cfg
         self.rng = np.random.RandomState(cfg.seed)
+        _t0 = time.time()
+        _timing = os.environ.get("FEDMLP_TPU_TIMING")
+
+        def _tick(msg):
+            nonlocal _t0
+            if _timing:
+                now = time.time()
+                log.warning("init %s: %.2fs", msg, now - _t0)
+                print(f"init {msg}: {now - _t0:.2f}s", flush=True)
+                _t0 = now
+
         if self.train_ds is None:
             self.train_ds = make_synthetic_dataset(
                 cfg.data.synthetic_train_size, cfg.data.n_classes,
@@ -63,6 +74,7 @@ class Trainer:
                 cfg.data.image_size, seed=cfg.seed + 1,
             )
         assert self.train_ds.n_classes == cfg.data.n_classes
+        _tick("datasets")
 
         # ---- partition, with on-disk caches keyed like the reference's
         # iid-dictusers/*.npy files (reference: dataset/dataset.py:168-180)
@@ -96,6 +108,7 @@ class Trainer:
                     os.makedirs(os.path.dirname(cache), exist_ok=True)
                     np.save(cache, self.dict_users, allow_pickle=True)
         self.n_clients = len(self.dict_users)
+        _tick("partition")
 
         # ---- label hiding (reference: main.py:58-66) ----
         self.hidden = build_hidden_mask(
@@ -113,6 +126,8 @@ class Trainer:
             self.hidden, self.active_lists,
             mean=cfg.data.mean, std=cfg.data.std,
         )
+        jax.block_until_ready(self.fd.images)
+        _tick("federated data on device")
         self.dict_len = np.asarray(self.fd.n_local)
         self.class_active_clients, self.class_negative_clients = class_client_lists(
             np.asarray(self.fd.active)
@@ -125,6 +140,9 @@ class Trainer:
             self.model, jax.random.PRNGKey(cfg.seed), cfg.data.image_size,
             batch=2,
         )
+
+        jax.block_until_ready(self.global_vars)
+        _tick("model init")
 
         # ---- mesh ----
         self.mesh = make_mesh() if self.use_mesh else None
@@ -160,6 +178,7 @@ class Trainer:
             lambda gv: rt.broadcast_to_clients(gv, K)
         )
         self._fedavg_jit = jax.jit(agg_fedavg)
+        _tick("runtime setup")
 
     # ------------------------------------------------------------------
     def client_ctx(self) -> dict:
