@@ -332,65 +332,87 @@ def make_local_round(
             new_cstate = post_step(cstate_k, aux, sample, svalid, ctx)
         return new_vars, new_opt, new_teacher, new_cstate, loss * has_any, has_any, aux
 
-    vstep = jax.vmap(
-        client_step,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, None, None),
-        out_axes=(0, 0, 0, 0, 0, 0, 0),
-    )
+    # ------------------------------------------------------------------
+    # One client's full local round: scan over its S steps. Weights stay
+    # UNBATCHED here — a vmap over clients batches the conv kernels and
+    # XLA lowers per-client-filter convolutions ~100x slower than plain
+    # convs; clients are therefore iterated with lax.map (sequential on
+    # one chip, sharded across chips via the client mesh axis).
+    # ------------------------------------------------------------------
 
-    def round_fn(state, data, plan, scalars):
-        pos, pos_valid = plan["pos"], plan["pos_valid"]
-        K = pos.shape[1]
-        stacked_vars = state["vars"]
-        teacher = state.get("teacher", {"params": jnp.zeros((K, 0))})
-        cstate = state.get("cstate", jnp.zeros((K, 0)))
-        opt_state = jax.vmap(tx.init)(stacked_vars["params"])
-        ctx = data["ctx"]
-        global_vars = data["global_vars"]
+    def client_round(vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
+                     valid_k, ctx_k, global_vars, key_k, iter0, scalars):
+        opt_k = tx.init(vars_k["params"])
 
         def body(carry, xs):
-            svars, sopt, stea, scst, key, it, loss_sum, cnt, aux_sum = carry
-            imgs, sample, step_pos, step_valid = xs  # pre-gathered [K, B, ...]
+            vars_k, opt_k, teacher_k, cstate_k, key, it, loss_sum, cnt, aux_sum = carry
+            imgs, sample, step_pos, step_valid = xs  # [B, ...]
             key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, K)
             sample = dict(sample)
             sample["_pos"] = step_pos  # table positions, for cstate scatters
-            svars, sopt, stea, scst, loss, has_any, aux = vstep(
-                svars, sopt, stea, scst, imgs, sample, step_valid, ctx,
-                global_vars, keys, it, scalars,
+            vars_k, opt_k, teacher_k, cstate_k, loss, has_any, aux = client_step(
+                vars_k, opt_k, teacher_k, cstate_k, imgs, sample, step_valid,
+                ctx_k, global_vars, sub, it, scalars,
             )
             if aux_sum is None:
                 new_aux = aux
             else:
                 new_aux = jax.tree_util.tree_map(jnp.add, aux_sum, aux)
             return (
-                svars, sopt, stea, scst, key, it + 1.0,
+                vars_k, opt_k, teacher_k, cstate_k, key, it + 1.0,
                 loss_sum + loss, cnt + has_any, new_aux,
             ), None
 
-        xs = (plan["images"], plan["sample"], pos, pos_valid)
-
-        # probe aux structure with zeros so scan carry is well-typed
+        xs = (imgs_k, sample_k, pos_k, valid_k)  # leading axis S
         aux0 = jax.eval_shape(
             lambda: body(
-                (stacked_vars, opt_state, teacher, cstate, plan["key"],
-                 plan["iter0"], jnp.zeros((K,)), jnp.zeros((K,)), None),
+                (vars_k, opt_k, teacher_k, cstate_k, key_k, iter0,
+                 jnp.float32(0), jnp.float32(0), None),
                 jax.tree_util.tree_map(lambda x: x[0], xs),
             )[0][8]
         )
         aux0 = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), aux0
         )
-
-        init = (
-            stacked_vars, opt_state, teacher, cstate, plan["key"],
-            plan["iter0"], jnp.zeros((K,), jnp.float32),
-            jnp.zeros((K,), jnp.float32), aux0,
-        )
-        (svars, _, stea, scst, _, _, loss_sum, cnt, aux_sum), _ = jax.lax.scan(
-            body, init, xs
+        init = (vars_k, opt_k, teacher_k, cstate_k, key_k, iter0,
+                jnp.float32(0), jnp.float32(0), aux0)
+        (vars_k, _, teacher_k, cstate_k, _, _, loss_sum, cnt, aux_sum), _ = (
+            jax.lax.scan(body, init, xs)
         )
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
+        return vars_k, teacher_k, cstate_k, mean_loss, aux_sum
+
+    def round_fn(state, data, plan, scalars):
+        pos, pos_valid = plan["pos"], plan["pos_valid"]  # [S, K, B]
+        K = pos.shape[1]
+        stacked_vars = state["vars"]
+        teacher = state.get("teacher", {"params": jnp.zeros((K, 0))})
+        cstate = state.get("cstate", jnp.zeros((K, 0)))
+        ctx = data["ctx"]
+        global_vars = data["global_vars"]
+
+        keys = jax.random.split(plan["key"], K)
+        # K-major views for the per-client map
+        imgs_km = jnp.swapaxes(plan["images"], 0, 1)  # [K, S, B, ...]
+        sample_km = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), plan["sample"]
+        )
+        pos_km = jnp.swapaxes(pos, 0, 1)
+        valid_km = jnp.swapaxes(pos_valid, 0, 1)
+
+        def one(args):
+            vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k, valid_k, \
+                ctx_k, key_k = args
+            return client_round(
+                vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
+                valid_k, ctx_k, global_vars, key_k, plan["iter0"], scalars,
+            )
+
+        svars, stea, scst, mean_loss, aux_sum = jax.lax.map(
+            one,
+            (stacked_vars, teacher, cstate, imgs_km, sample_km, pos_km,
+             valid_km, ctx, keys),
+        )
         out_state = {"vars": svars}
         if "teacher" in state:
             out_state["teacher"] = stea
@@ -422,37 +444,42 @@ def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True
         feature, logits = model.apply(vars_k, x, train=False)
         return feature, jax.nn.sigmoid(logits)
 
-    vbatch = jax.vmap(one_batch, in_axes=(0, 0, 0))
-
     @jax.jit
     def gather_chunks(images, idx):
         K, M = idx.shape
         nb = (M + batch_size - 1) // batch_size
         pad = nb * batch_size - M
         idx_p = jnp.pad(idx, ((0, 0), (0, pad)), mode="edge")
-        gidx = idx_p.reshape(K, nb, batch_size).transpose(1, 0, 2)
-        return images[gidx]  # [nb, K, B, H, W, 3]
+        gidx = idx_p.reshape(K, nb, batch_size)
+        return images[gidx]  # [K, nb, B, H, W, 3]
 
     @jax.jit
     def forward_chunks(stacked_vars, chunks, key):
-        nb, K = chunks.shape[0], chunks.shape[1]
+        # lax.map over clients (unbatched weights — see make_local_round)
+        K = chunks.shape[0]
+        keys = jax.random.split(key, K)
 
-        def body(key, imgs):
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, K)
-            f, p = vbatch(stacked_vars, imgs, keys)
-            return key, (f, p)
+        def one_client(args):
+            vars_k, chunks_k, key_k = args
 
-        _, (feats, probs) = jax.lax.scan(body, key, chunks)
-        return feats, probs
+            def body(key, imgs):
+                key, sub = jax.random.split(key)
+                f, p = one_batch(vars_k, imgs, sub)
+                return key, (f, p)
+
+            _, (feats, probs) = jax.lax.scan(body, key_k, chunks_k)
+            return feats, probs  # [nb, B, D], [nb, B, C]
+
+        feats, probs = jax.lax.map(one_client, (stacked_vars, chunks, keys))
+        return feats, probs  # [K, nb, B, ...]
 
     def harvest(stacked_vars, images, idx, key):
         K, M = idx.shape
         nb = (M + batch_size - 1) // batch_size
         chunks = gather_chunks(images, idx)
         feats, probs = forward_chunks(stacked_vars, chunks, key)
-        feats = feats.transpose(1, 0, 2, 3).reshape(K, nb * batch_size, -1)[:, :M]
-        probs = probs.transpose(1, 0, 2, 3).reshape(K, nb * batch_size, -1)[:, :M]
+        feats = feats.reshape(K, nb * batch_size, -1)[:, :M]
+        probs = probs.reshape(K, nb * batch_size, -1)[:, :M]
         return feats, probs
 
     return harvest
