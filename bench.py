@@ -49,7 +49,7 @@ def main():
         base_lr=3e-5,
         n_clients=K,
         local_ep=1,
-        rounds_warmup=ROUNDS + 1,
+        rounds_warmup=ROUNDS + 2,
         eval_every=10_000,
         seed=1037,
         p_pos=1.0,
@@ -64,18 +64,22 @@ def main():
     )
     t = Trainer(cfg)
 
-    # warm-up: compile
+    # warm-up: compile + shake out backend slow-start
     t.run_round(0)
+    t.run_round(1)
     jax.block_until_ready(t.global_vars["params"])
 
     imgs_per_round = int(np.asarray(t.fd.valid).sum()) * cfg.local_ep
-    t0 = time.perf_counter()
-    for r in range(1, ROUNDS + 1):
+    # per-round timing; report the median (the tunneled chip's throughput
+    # fluctuates between sessions — median filters transient slowdowns)
+    times = []
+    for r in range(2, 2 + ROUNDS):
+        t0 = time.perf_counter()
         t.run_round(r)
-    jax.block_until_ready(t.global_vars["params"])
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(t.global_vars["params"])
+        times.append(time.perf_counter() - t0)
 
-    ips = ROUNDS * imgs_per_round / dt / max(1, n_chips)
+    ips = imgs_per_round / float(np.median(times)) / max(1, n_chips)
     print(
         json.dumps(
             {

@@ -203,21 +203,48 @@ def main(argv=None):
         train_ds = load_packed_dataset(os.path.join(cfg.data.root, "train"))
         test_ds = load_packed_dataset(os.path.join(cfg.data.root, "test"))
 
-    trainer = Trainer(cfg, train_ds=train_ds, test_ds=test_ds)
-    start = 0
-    if a.resume:
-        start = load_checkpoint(a.resume, trainer)
-        logging.info("resumed from %s at round %d", a.resume, start)
+    if not cfg.train:
+        # test-only branch (reference: main.py:365-377): per-class metrics
+        from fedmlp_tpu.eval.evaluate import class_test
 
-    for rnd in range(start, cfg.rounds_warmup):
-        rec = trainer.run_round(rnd)
-        for k, loss in enumerate(rec.client_losses):
-            writer.add_scalar(f"train/warm-up-loss/client{k}", loss, rnd)
-        if rec.metrics:
-            for name, v in rec.metrics.items():
-                writer.add_scalar(f"test/{name}", v, rnd)
-        if (rnd + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(models_dir, trainer, rnd)
+        trainer = Trainer(cfg, train_ds=train_ds, test_ds=test_ds)
+        if a.resume:
+            load_checkpoint(a.resume, trainer)
+        for classid in range(cfg.n_classes):
+            r = class_test(trainer, classid)
+            logging.info(
+                "class %d -----> BACC: %.2f, R: %.2f, F1: %.2f, P: %.2f",
+                classid, r["BACC"] * 100, r["R"] * 100, r["F1"] * 100,
+                r["P"] * 100,
+            )
+        writer.close()
+        return
+
+    # multi-run loop with reseeding (reference: main.py:85-86)
+    for run in range(cfg.runs):
+        if cfg.runs > 1:
+            set_seed(run)
+            logging.info("=====> begin run %d <=====", run)
+        trainer = Trainer(
+            cfg if cfg.runs == 1 else cfg.replace(seed=run),
+            train_ds=train_ds, test_ds=test_ds,
+        )
+        start = 0
+        if a.resume and run == 0:
+            start = load_checkpoint(a.resume, trainer)
+            logging.info("resumed from %s at round %d", a.resume, start)
+
+        for rnd in range(start, cfg.rounds_warmup):
+            rec = trainer.run_round(rnd)
+            for k, loss in enumerate(rec.client_losses):
+                writer.add_scalar(
+                    f"train_run{run}/warm-up-loss/client{k}", loss, rnd
+                )
+            if rec.metrics:
+                for name, v in rec.metrics.items():
+                    writer.add_scalar(f"test_run{run}/{name}", v, rnd)
+            if (rnd + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(models_dir, trainer, rnd)
     writer.close()
 
 

@@ -106,3 +106,39 @@ def init_model(model, rng, image_size: int, channels: int = 3, batch: int = 1):
 
 def count_params(variables) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def load_pretrained(variables, npz_path: str):
+    """Merge converted backbone weights (tools/convert_torch_weights.py
+    output) into freshly initialized variables. The classifier head keeps
+    its fresh init — the reference re-initializes it via head surgery
+    (model/all_models.py:99-130). Keys are '<collection>/<path...>/name'."""
+    import numpy as np
+
+    flat = dict(np.load(npz_path))
+    missing, loaded = [], 0
+
+    def walk(tree, prefix):
+        nonlocal loaded
+        out = {}
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out[k] = walk(v, path)
+            elif path in flat:
+                src = flat[path]
+                if src.shape != v.shape:
+                    missing.append(path)
+                    out[k] = v
+                else:
+                    out[k] = jnp.asarray(src, v.dtype)
+                    loaded += 1
+            else:
+                missing.append(path)
+                out[k] = v
+        return out
+
+    new_vars = {
+        coll: walk(tree, coll) for coll, tree in variables.items()
+    }
+    return new_vars, loaded, missing
