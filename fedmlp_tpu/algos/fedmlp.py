@@ -91,14 +91,16 @@ def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
     cell = supmask * svalid.astype(supmask.dtype)[:, None]
     sup = L.bce_on_probs(p1, labels) * cell
     loss = sup.sum() / jnp.maximum(cell.sum(), 1.0)
-    distill_w = scalars.get("stage2_distill", jnp.float32(0.0))
-    # paper-behavior term, disabled by default (released code comments it out)
-    dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[:, None]
-    g1 = jax.nn.sigmoid(views["g_logits1"])
-    dis = ((p1 - g1) ** 2) * dcell
-    denom = jnp.maximum(cell.sum() + dcell.sum(), 1.0)
-    loss_with_distill = (sup.sum() + dis.sum()) / denom
-    return jnp.where(distill_w > 0, loss_with_distill, loss), (rest1, {})
+    if "g_logits1" in views:
+        # paper-behavior distillation term (released code comments it out,
+        # reference :1187-1188); only traced when cfg.fedmlp.stage2_distill
+        # — a jnp.where would force the frozen-global forward every step
+        dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[:, None]
+        g1 = jax.nn.sigmoid(views["g_logits1"])
+        dis = ((p1 - g1) ** 2) * dcell
+        denom = jnp.maximum(cell.sum() + dcell.sum(), 1.0)
+        loss = (sup.sum() + dis.sum()) / denom
+    return loss, (rest1, {})
 
 
 # ----------------------------------------------------------------------
@@ -219,8 +221,10 @@ def _get_stage2_fn(trainer):
             batch_size=trainer.cfg.batch_size,
             mean=trainer.cfg.data.mean,
             std=trainer.cfg.data.std,
+            # stage 2 trains on view 1 only (reference :1176-1188); the
+            # frozen-global forward exists only for the optional distill term
             view_mode="dual",
-            needs_global=True,
+            needs_global=trainer.cfg.fedmlp.stage2_distill,
             donate=True,
         )
     return trainer._fedmlp_stage2_fn
@@ -273,9 +277,6 @@ def custom_round(trainer, rnd: int):
 
     sample_arrays = _stage2_sample_arrays(trainer)
     scalars = trainer.round_scalars(rnd)
-    scalars["stage2_distill"] = jnp.float32(
-        1.0 if cfg.fedmlp.stage2_distill else 0.0
-    )
     out_state, losses, _ = trainer.local_pass(
         _get_stage2_fn(trainer), sample_arrays, scalars
     )

@@ -290,7 +290,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self) -> dict:
-        probs = self.eval_probs(self.global_vars, jnp.asarray(self.test_ds.images))
+        if not hasattr(self, "_test_images_dev"):
+            self._test_images_dev = jnp.asarray(self.test_ds.images)
+        probs = self.eval_probs(self.global_vars, self._test_images_dev)
         return multilabel_report(self.test_ds.targets, probs)
 
     def run(self, rounds: Optional[int] = None) -> list:
