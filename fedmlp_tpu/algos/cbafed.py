@@ -95,6 +95,7 @@ def _get_pseudo_fn(trainer):
             lr=trainer.cfg.base_lr, batch_size=trainer.cfg.batch_size,
             mean=trainer.cfg.data.mean, std=trainer.cfg.data.std,
             view_mode="single",
+            mesh=trainer.round_mesh,
         )
     return trainer._cbafed_pseudo_fn
 

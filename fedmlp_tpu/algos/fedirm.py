@@ -116,6 +116,7 @@ def _get_relation_fn(trainer):
             teacher_decay=trainer.cfg.fedirm.ema_decay,
             teacher_iter_corrected=True,
             teacher_scope="params",
+            mesh=trainer.round_mesh,
         )
     return trainer._fedirm_rel_fn
 

@@ -226,6 +226,7 @@ def _get_stage2_fn(trainer):
             view_mode="dual",
             needs_global=trainer.cfg.fedmlp.stage2_distill,
             donate=True,
+            mesh=trainer.round_mesh,
         )
     return trainer._fedmlp_stage2_fn
 

@@ -180,6 +180,7 @@ def _get_round_fn(trainer):
             lr=trainer.cfg.base_lr, batch_size=trainer.cfg.batch_size,
             mean=trainer.cfg.data.mean, std=trainer.cfg.data.std,
             view_mode="single", post_step=post_step,
+            mesh=trainer.round_mesh,
         )
         trainer._rofl_harvest = rt.make_harvest_fn(
             trainer.model, trainer.cfg.data.mean, trainer.cfg.data.std,

@@ -53,6 +53,7 @@ def make_round_fn(trainer):
         mean=trainer.cfg.data.mean, std=trainer.cfg.data.std,
         view_mode="dual", needs_global=False,
         teacher_decay=TEACHER_DECAY, teacher_scope="all",
+        mesh=trainer.round_mesh,
     )
 
 

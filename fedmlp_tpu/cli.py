@@ -112,6 +112,8 @@ def args_parser(argv=None):
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--augment_backend", type=str, default="gather",
+                   choices=["gather", "paeth", "pallas"])
     p.add_argument("--synthetic_train_size", type=int, default=512)
     p.add_argument("--synthetic_test_size", type=int, default=128)
     return p.parse_args(argv)
@@ -127,6 +129,8 @@ def config_from_args(a) -> Config:
         data = DataConfig(**{**data.__dict__, "n_classes": a.n_classes})
     if a.data_root:
         data = DataConfig(**{**data.__dict__, "root": a.data_root})
+    if a.augment_backend != "gather":
+        data = DataConfig(**{**data.__dict__, "augment_backend": a.augment_backend})
     if a.dataset.lower() == "synthetic":
         data = DataConfig(**{
             **data.__dict__,

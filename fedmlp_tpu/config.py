@@ -55,6 +55,9 @@ class DataConfig:
     synthetic_test_size: int = 128
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
+    # weak-view warp backend: 'gather' (single-pass bilinear, XLA gathers),
+    # 'paeth' (3-shear take_along_axis), 'pallas' (3-shear roll kernel)
+    augment_backend: str = "gather"
 
 
 @dataclass(frozen=True)

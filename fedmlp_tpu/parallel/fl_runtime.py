@@ -229,6 +229,8 @@ def make_local_round(
     post_step: Callable | None = None,  # (cstate, aux, sample, svalid, ctx)
     weight_decay: float = 5e-4,
     donate: bool = True,
+    mesh=None,  # Mesh with a 'client' axis: shard_map clients across devices
+    augment_backend: str = "gather",  # 'gather' | 'paeth' | 'pallas'
 ):
     """Build a jitted function running S local steps for ALL clients.
 
@@ -262,14 +264,25 @@ def make_local_round(
     tx = torch_adam(lr, weight_decay)
     has_teacher = teacher_decay is not None
 
+    if augment_backend == "gather":
+        weak = A.weak_augment_batch
+    else:
+        from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
+
+        def weak(imgs, key, mean_, std_):
+            return weak_augment_batch_paeth(
+                imgs, key, mean_, std_,
+                use_pallas=(augment_backend == "pallas"),
+            )
+
     def augment_views(imgs_u8, key):
         if view_mode == "single":
             k1, _ = jax.random.split(key)
-            return {"x": A.weak_augment_batch(imgs_u8, k1, mean, std)}
+            return {"x": weak(imgs_u8, k1, mean, std)}
         k1, k2 = jax.random.split(key)
-        x1 = A.weak_augment_batch(imgs_u8, k1, mean, std)
+        x1 = weak(imgs_u8, k1, mean, std)
         if view_mode == "dual":
-            x2 = A.weak_augment_batch(imgs_u8, k2, mean, std)
+            x2 = weak(imgs_u8, k2, mean, std)
         else:
             x2 = A.strong_augment_batch(imgs_u8, k2, mean, std)
         return {"x1": x1, "x2": x2}
@@ -400,19 +413,40 @@ def make_local_round(
         pos_km = jnp.swapaxes(pos, 0, 1)
         valid_km = jnp.swapaxes(pos_valid, 0, 1)
 
-        def one(args):
-            vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k, valid_k, \
-                ctx_k, key_k = args
-            return client_round(
-                vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
-                valid_k, ctx_k, global_vars, key_k, plan["iter0"], scalars,
-            )
+        def map_clients(stacked_args):
+            def one(args):
+                vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k, \
+                    valid_k, ctx_k, key_k = args
+                return client_round(
+                    vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
+                    valid_k, ctx_k, global_vars, key_k, plan["iter0"],
+                    scalars,
+                )
 
-        svars, stea, scst, mean_loss, aux_sum = jax.lax.map(
-            one,
-            (stacked_vars, teacher, cstate, imgs_km, sample_km, pos_km,
-             valid_km, ctx, keys),
-        )
+            return jax.lax.map(one, stacked_args)
+
+        stacked_args = (stacked_vars, teacher, cstate, imgs_km, sample_km,
+                        pos_km, valid_km, ctx, keys)
+
+        n_shards = mesh.shape["client"] if mesh is not None else 1
+        if mesh is not None and n_shards > 1 and K % n_shards == 0:
+            # each device loops over its LOCAL clients; lax.map over a
+            # sharded axis would all-gather and serialize instead
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            spec = jax.tree_util.tree_map(lambda _: P("client"), stacked_args)
+            out_spec = jax.tree_util.tree_map(
+                lambda _: P("client"),
+                jax.eval_shape(map_clients, stacked_args),
+            )
+            mapped = shard_map(
+                map_clients, mesh=mesh, in_specs=(spec,),
+                out_specs=out_spec, check_rep=False,
+            )
+            svars, stea, scst, mean_loss, aux_sum = mapped(stacked_args)
+        else:
+            svars, stea, scst, mean_loss, aux_sum = map_clients(stacked_args)
         out_state = {"vars": svars}
         if "teacher" in state:
             out_state["teacher"] = stea

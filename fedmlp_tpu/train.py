@@ -159,6 +159,8 @@ class Trainer:
             view_mode=self.algo.VIEW_MODE,
             needs_global=self.algo.NEEDS_GLOBAL,
             donate=True,
+            mesh=self.round_mesh,
+            augment_backend=cfg.data.augment_backend,
         )
         self.server_state = (
             self.algo.init_server_state(self) if hasattr(self.algo, "init_server_state")
@@ -232,6 +234,15 @@ class Trainer:
         out_state, losses, aux = round_fn(state, data, plan, scalars)
         self.iter_num += pos.shape[0]
         return out_state, losses, aux
+
+    @property
+    def round_mesh(self):
+        """Mesh for shard_map'd client parallelism, when the client count
+        divides the client axis; None → single-shard lax.map."""
+        if (self.mesh is not None and self.mesh.shape["client"] > 1
+                and self.n_clients % self.mesh.shape["client"] == 0):
+            return self.mesh
+        return None
 
     def next_key(self):
         self._jkey, sub = jax.random.split(self._jkey)
