@@ -220,6 +220,12 @@ def equalize(img):
     return jnp.stack([eq_channel(x[..., c]) for c in range(3)], axis=-1)
 
 
+def solarize_add(img, v, threshold=128.0):
+    """ImageOps.solarize after adding v (utils/FixMatch.py:111-120)."""
+    shifted = jnp.clip(img + v, 0.0, 255.0)
+    return jnp.where(shifted >= threshold, 255.0 - shifted, shifted)
+
+
 def cutout_abs(img, key, size):
     """CutoutAbs (utils/FixMatch.py:47-60): gray square of side ~size at a
     uniform center."""
@@ -280,6 +286,49 @@ def randaugment_mc(img, key, n=2, m=10, cutout=16):
         v_int = jax.random.randint(kv, (), 1, m)  # np.random.randint(1, m)
         do = jax.random.bernoulli(kp, 0.5)
         auged = _randaugment_op(img, op_idx, v_int, kapply)
+        img = jnp.where(do, auged, img)
+    return cutout_abs(img, keys[n], cutout)
+
+
+def _randaugment_pc_op(img, op_idx, m, key):
+    """One op from my_augment_pool (utils/FixMatch.py:166-184): 16 ops with
+    fixed magnitude v = m and PC-specific (max_v, bias) scaling."""
+    ks, _ = jax.random.split(key)
+    v = jnp.float32(m)
+    size = min(img.shape[0], img.shape[1])
+
+    branches = [
+        lambda im: autocontrast(im),                                        # 0
+        lambda im: brightness(im, v * 1.8 / PARAMETER_MAX + 0.1),           # 1
+        lambda im: color(im, v * 1.8 / PARAMETER_MAX + 0.1),                # 2
+        lambda im: contrast(im, v * 1.8 / PARAMETER_MAX + 0.1),             # 3
+        lambda im: cutout_abs(im, ks, jnp.floor(v * 0.2 / PARAMETER_MAX * size)),  # 4
+        lambda im: equalize(im),                                            # 5
+        lambda im: invert(im),                                              # 6
+        lambda im: posterize(im, (v * 4 // PARAMETER_MAX).astype(jnp.int32) + 4),  # 7
+        lambda im: rotate(im, _rand_sign(ks, jnp.floor(v * 30 / PARAMETER_MAX))),  # 8
+        lambda im: sharpness(im, v * 1.8 / PARAMETER_MAX + 0.1),            # 9
+        lambda im: shear_x(im, _rand_sign(ks, v * 0.3 / PARAMETER_MAX)),    # 10
+        lambda im: shear_y(im, _rand_sign(ks, v * 0.3 / PARAMETER_MAX)),    # 11
+        lambda im: solarize(im, 256.0 - jnp.floor(v * 256 / PARAMETER_MAX)),  # 12
+        lambda im: solarize_add(im, _rand_sign(ks, jnp.floor(v * 110 / PARAMETER_MAX))),  # 13
+        lambda im: translate_x(im, _rand_sign(ks, jnp.floor(v * 0.45 / PARAMETER_MAX * im.shape[1]))),  # 14
+        lambda im: translate_y(im, _rand_sign(ks, jnp.floor(v * 0.45 / PARAMETER_MAX * im.shape[0]))),  # 15
+    ]
+    return jax.lax.switch(op_idx, branches, img)
+
+
+def randaugment_pc(img, key, n=2, m=10, cutout=16):
+    """RandAugmentPC (utils/FixMatch.py:187-202): n ops at fixed magnitude
+    m, each applied with probability random()+U(0.2,0.8) >= 1, then
+    CutoutAbs(16)."""
+    keys = jax.random.split(key, n + 1)
+    for i in range(n):
+        kop, kprob, kp, kapply = jax.random.split(keys[i], 4)
+        op_idx = jax.random.randint(kop, (), 0, 16)
+        prob = jax.random.uniform(kprob, (), minval=0.2, maxval=0.8)
+        do = jax.random.uniform(kp) + prob >= 1.0
+        auged = _randaugment_pc_op(img, op_idx, m, kapply)
         img = jnp.where(do, auged, img)
     return cutout_abs(img, keys[n], cutout)
 

@@ -1,0 +1,90 @@
+"""Device-side augmentation ops: PIL-semantics checks + pipeline shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fedmlp_tpu.ops import augment as A
+
+MEAN = (0.485, 0.456, 0.406)
+STD = (0.229, 0.224, 0.225)
+
+
+@pytest.fixture
+def img(rng):
+    return jnp.asarray(rng.randint(0, 255, (24, 24, 3)).astype(np.float32))
+
+
+def test_posterize_matches_pil_semantics(img):
+    out = np.asarray(A.posterize(img, jnp.int32(4)))
+    want = (np.asarray(img).astype(np.uint8) >> 4) << 4
+    np.testing.assert_array_equal(out, want.astype(np.float32))
+
+
+def test_solarize(img):
+    out = np.asarray(A.solarize(img, 128.0))
+    x = np.asarray(img)
+    want = np.where(x >= 128, 255 - x, x)
+    np.testing.assert_allclose(out, want)
+
+
+def test_solarize_add(img):
+    out = np.asarray(A.solarize_add(img, 30.0))
+    x = np.clip(np.asarray(img) + 30, 0, 255)
+    want = np.where(x >= 128, 255 - x, x)
+    np.testing.assert_allclose(out, want)
+
+
+def test_invert_autocontrast_bounds(img):
+    inv = np.asarray(A.invert(img))
+    np.testing.assert_allclose(inv, 255 - np.asarray(img))
+    ac = np.asarray(A.autocontrast(img))
+    assert ac.min() >= -1e-4 and ac.max() <= 255 + 1e-4
+    # autocontrast stretches each channel to the full range
+    assert ac.max() == pytest.approx(255, abs=1e-3)
+
+
+def test_equalize_flattens_histogram():
+    rng = np.random.RandomState(0)
+    # concentrated intensities → equalize must spread them
+    x = jnp.asarray((rng.rand(32, 32, 3) * 40 + 100).astype(np.float32))
+    out = np.asarray(A.equalize(x))
+    assert out.std() > np.asarray(x).std()
+
+
+def test_brightness_contrast_color_identity(img):
+    for op in (A.brightness, A.contrast, A.color, A.sharpness):
+        out = np.asarray(op(img, 1.0))
+        np.testing.assert_allclose(out, np.asarray(img), atol=0.51)
+
+
+def test_rotate_translate_shear_shapes(img):
+    for op, arg in ((A.rotate, 15.0), (A.shear_x, 0.2), (A.shear_y, -0.2),
+                    (A.translate_x, 5.0), (A.translate_y, -5.0)):
+        out = op(img, arg)
+        assert out.shape == img.shape
+
+
+def test_randaugment_variants_run(img):
+    key = jax.random.PRNGKey(0)
+    mc = A.randaugment_mc(img, key)
+    pc = A.randaugment_pc(img, key)
+    assert mc.shape == img.shape and pc.shape == img.shape
+    assert np.isfinite(np.asarray(mc)).all()
+    assert np.isfinite(np.asarray(pc)).all()
+
+
+def test_strong_batch_jit(rng):
+    imgs = jnp.asarray(rng.randint(0, 255, (4, 24, 24, 3)).astype(np.uint8))
+    out = jax.jit(
+        lambda x, k: A.strong_augment_batch(x, k, MEAN, STD)
+    )(imgs, jax.random.PRNGKey(1))
+    assert out.shape == (4, 24, 24, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cutout_fills_gray(img):
+    out = np.asarray(A.cutout_abs(img, jax.random.PRNGKey(3), 8))
+    assert (out == A.FILL_GRAY).any()
