@@ -118,6 +118,8 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalar
     aux = {
         "feature": feature,
         "sel": sel,
+        # in-training pseudo refresh only before T_pl (reference :536-538)
+        "sel_pl": sel * (rnd < T_pl).astype(jnp.float32),
         "agree": agree,
         "labels": labels,
         "new_labels": jax.lax.stop_gradient(new_labels),
@@ -142,10 +144,11 @@ def post_step(cstate, aux, sample, svalid, ctx):
     f_kj_hat = sums / counts
     new_f_k = rofl_centroid_update(f_k, f_kj_hat)
 
-    # pseudo refresh for selected samples (guarded by T_pl in scalars —
-    # the caller masks sel when rnd >= T_pl)
+    # pseudo refresh for selected samples, active only before T_pl
+    # (reference :536-538 — sel_pl is pre-masked by the loss)
+    sel_pl = aux["sel_pl"]
     pos = sample["_pos"]
-    upd = sel[:, None] * labels + (1.0 - sel[:, None]) * pseudo[pos]
+    upd = sel_pl[:, None] * labels + (1.0 - sel_pl[:, None]) * pseudo[pos]
     new_pseudo = pseudo.at[pos].set(upd)
     return {"f_k": new_f_k, "pseudo": new_pseudo}
 
@@ -200,8 +203,9 @@ def custom_round(trainer, rnd: int):
     feats, probs = trainer._rofl_harvest(
         gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key()
     )
-    if rnd < cfg.rofl.T_pl:
-        st["pseudo"] = np.asarray(probs > 0.5, np.float32)
+    # global-guided pseudo labels refreshed EVERY round (reference :480-496;
+    # only the in-training label write-back is gated by T_pl)
+    st["pseudo"] = np.asarray(probs > 0.5, np.float32)
     if rnd == 0:
         from fedmlp_tpu.ops.similarity import masked_binary_prototypes
 
