@@ -55,6 +55,8 @@ def args_parser(argv=None):
     p.add_argument("--base_lr", type=float, default=None,
                    help="default: per-dataset preset (ICH 3e-5, CXR 3e-6)")
     p.add_argument("--pretrained", type=int, default=0)
+    p.add_argument("--pretrained_path", type=str, default=None,
+                   help="converted backbone npz (tools/convert_torch_weights.py)")
     p.add_argument("--train", type=int, default=1)
     # PSL (:30-31)
     p.add_argument("--annotation_num", type=int, default=1)
@@ -144,6 +146,7 @@ def config_from_args(a) -> Config:
         batch_size=a.batch_size,
         base_lr=a.base_lr if a.base_lr is not None else cfg.base_lr,
         pretrained=a.pretrained,
+        pretrained_path=a.pretrained_path,
         train=a.train,
         annotation_num=a.annotation_num,
         n_clients=a.n_clients if a.n_clients else cfg.n_clients,

@@ -143,6 +143,8 @@ class Config:
     feature_dim: int = 512  # penultimate feature width of ResNet18
     base_lr: float = 3e-5  # ICH 3e-5 / ChestXray14 3e-6
     pretrained: int = 0  # ImageNet init if weights present
+    # converted backbone weights (tools/convert_torch_weights.py output)
+    pretrained_path: Optional[str] = None
     train: int = 1
     # PSL
     annotation_num: int = 1  # classes annotated per client

@@ -141,6 +141,14 @@ class Trainer:
             batch=2,
         )
 
+        if cfg.pretrained_path:
+            from fedmlp_tpu.models.factory import load_pretrained
+
+            self.global_vars, n_loaded, _missing = load_pretrained(
+                self.global_vars, cfg.pretrained_path
+            )
+            log.info("loaded %d pretrained arrays from %s", n_loaded,
+                     cfg.pretrained_path)
         jax.block_until_ready(self.global_vars)
         _tick("model init")
 

@@ -44,6 +44,39 @@ def _small_trainer(seed=5):
     return Trainer(cfg)
 
 
+def test_fedmlp_resume_preserves_stage2_state(tmp_path):
+    """Resume mid-stage-2 must restore tags/tau/prototypes — the true-resume
+    gap of the reference (SURVEY.md §5: stage-2 traindata_idx not saved)."""
+    from fedmlp_tpu.config import FedMLPConfig
+
+    def mk():
+        cfg = Config(
+            algorithm="fedmlp", model="smallcnn", batch_size=16,
+            base_lr=1e-3, n_clients=4, local_ep=1, rounds_warmup=4,
+            eval_every=100, seed=9,
+            fedmlp=FedMLPConfig(rounds_stage1=2, clean_threshold=0.1,
+                                noise_threshold=0.1),
+            data=DataConfig(name="synthetic", n_classes=4, image_size=32,
+                            synthetic_train_size=128, synthetic_test_size=32),
+            compute_dtype="float32",
+        )
+        return Trainer(cfg)
+
+    t1 = mk()
+    for r in range(3):  # into stage 2 (tags exist)
+        t1.run_round(r)
+    assert (t1.server_state["tags"] > 0).any()
+    f = save_checkpoint(str(tmp_path), t1, 2)
+    t1.run_round(3)
+    ref_tags = t1.server_state["tags"].copy()
+
+    t2 = mk()
+    nxt = load_checkpoint(f, t2)
+    assert nxt == 3
+    t2.run_round(3)
+    np.testing.assert_array_equal(t2.server_state["tags"], ref_tags)
+
+
 def test_checkpoint_resume_bitwise(tmp_path):
     import jax
 
