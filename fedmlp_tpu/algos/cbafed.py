@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from fedmlp_tpu.algos.base import apply_train, masked_rows
-from fedmlp_tpu.fl import fedavg as agg_fedavg
 from fedmlp_tpu.ops import losses as L
 from fedmlp_tpu.parallel import fl_runtime as rt
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fedmlp_tpu.algos.base import apply_train, masked_rows
-from fedmlp_tpu.fl import fedavg as agg_fedavg, fedavg_proto, fedavg_tao
+from fedmlp_tpu.fl import fedavg_proto, fedavg_tao
 from fedmlp_tpu.ops import losses as L
 from fedmlp_tpu.ops.similarity import (
     confidence_fraction,

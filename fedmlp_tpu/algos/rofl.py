@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from fedmlp_tpu.algos.base import apply_train
-from fedmlp_tpu.fl import fedavg as agg_fedavg
 from fedmlp_tpu.models import feature_dim_of
 from fedmlp_tpu.ops import losses as L
 from fedmlp_tpu.ops.similarity import rofl_centroid_update

@@ -27,7 +27,7 @@ from fedmlp_tpu.eval.metrics import multilabel_report
 from fedmlp_tpu.fl import fedavg as agg_fedavg
 from fedmlp_tpu.models import build_model
 from fedmlp_tpu.models.factory import init_model
-from fedmlp_tpu.parallel import make_mesh, shard_stacked, replicate
+from fedmlp_tpu.parallel import make_mesh, shard_stacked
 from fedmlp_tpu.parallel import fl_runtime as rt
 
 log = logging.getLogger("fedmlp_tpu")
