@@ -288,7 +288,11 @@ def make_local_round(
         return {"x1": x1, "x2": x2}
 
     def client_step(vars_k, opt_k, teacher_k, cstate_k, imgs_u8, sample,
-                    svalid, ctx, global_vars, key, it, scalars):
+                    svalid, ctx, global_vars, key, it, scalars,
+                    data_axis=None):
+        if data_axis is not None:
+            # distinct augmentation randomness per data shard
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         ka, kl = jax.random.split(key)
         views = augment_views(imgs_u8, ka)
         if needs_global:
@@ -313,9 +317,20 @@ def make_local_round(
                            cstate_k, kl, scalars)
 
         (loss, (new_rest, aux)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        if data_axis is not None:
+            # per-client data parallelism:each shard computed its loss over a
+            # slice of the batch; average grads/loss, sync BN stats, sum aux
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            new_rest = jax.lax.pmean(new_rest, data_axis)
+            aux = jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, data_axis), aux
+            )
         updates, new_opt = tx.update(grads, opt_k, params)
         # a step with zero valid samples must not move this client
         has_any = (svalid.sum() > 0).astype(jnp.float32)
+        if data_axis is not None:
+            has_any = jax.lax.pmax(has_any, data_axis)
         updates = jax.tree_util.tree_map(lambda u: u * has_any, updates)
         new_params = optax.apply_updates(params, updates)
         new_vars = dict(new_rest)
@@ -354,7 +369,8 @@ def make_local_round(
     # ------------------------------------------------------------------
 
     def client_round(vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
-                     valid_k, ctx_k, global_vars, key_k, iter0, scalars):
+                     valid_k, ctx_k, global_vars, key_k, iter0, scalars,
+                     data_axis=None):
         opt_k = tx.init(vars_k["params"])
 
         def body(carry, xs):
@@ -365,7 +381,7 @@ def make_local_round(
             sample["_pos"] = step_pos  # table positions, for cstate scatters
             vars_k, opt_k, teacher_k, cstate_k, loss, has_any, aux = client_step(
                 vars_k, opt_k, teacher_k, cstate_k, imgs, sample, step_valid,
-                ctx_k, global_vars, sub, it, scalars,
+                ctx_k, global_vars, sub, it, scalars, data_axis=data_axis,
             )
             if aux_sum is None:
                 new_aux = aux
@@ -413,32 +429,65 @@ def make_local_round(
         pos_km = jnp.swapaxes(pos, 0, 1)
         valid_km = jnp.swapaxes(pos_valid, 0, 1)
 
-        def map_clients(stacked_args):
-            def one(args):
-                vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k, \
-                    valid_k, ctx_k, key_k = args
-                return client_round(
-                    vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
-                    valid_k, ctx_k, global_vars, key_k, plan["iter0"],
-                    scalars,
-                )
+        n_cl_shards = mesh.shape["client"] if mesh is not None else 1
+        n_dp_shards = mesh.shape.get("data", 1) if mesh is not None else 1
+        use_shard_map = (
+            mesh is not None
+            and (n_cl_shards > 1 or n_dp_shards > 1)
+            and K % n_cl_shards == 0
+            and pos.shape[2] % n_dp_shards == 0
+        )
+        data_axis = "data" if (use_shard_map and n_dp_shards > 1) else None
+        if data_axis is not None and post_step is not None:
+            raise NotImplementedError(
+                "data-axis sharding with per-client state hooks is not "
+                "supported (cstate would diverge across data shards)"
+            )
 
-            return jax.lax.map(one, stacked_args)
+        def make_map_clients(axis):
+            def map_clients(stacked_args):
+                def one(args):
+                    vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k, \
+                        valid_k, ctx_k, key_k = args
+                    return client_round(
+                        vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
+                        valid_k, ctx_k, global_vars, key_k, plan["iter0"],
+                        scalars, data_axis=axis,
+                    )
+
+                return jax.lax.map(one, stacked_args)
+
+            return map_clients
+
+        map_clients = make_map_clients(data_axis)
 
         stacked_args = (stacked_vars, teacher, cstate, imgs_km, sample_km,
                         pos_km, valid_km, ctx, keys)
 
-        n_shards = mesh.shape["client"] if mesh is not None else 1
-        if mesh is not None and n_shards > 1 and K % n_shards == 0:
+        if use_shard_map:
             # each device loops over its LOCAL clients; lax.map over a
-            # sharded axis would all-gather and serialize instead
+            # sharded axis would all-gather and serialize instead. Batch
+            # tensors [K, S, B, ...] additionally split B over the 'data'
+            # axis; grads/losses pmean inside client_step.
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
 
-            spec = jax.tree_util.tree_map(lambda _: P("client"), stacked_args)
+            def in_spec_of(path_unused, x):
+                # batch-carrying tensors have ndim >= 3 with axis 2 == B
+                if (data_axis is not None and hasattr(x, "ndim")
+                        and x.ndim >= 3 and x.shape[1] == pos.shape[0]
+                        and x.shape[2] == pos.shape[2]):
+                    return P("client", None, "data")
+                return P("client")
+
+            spec = jax.tree_util.tree_map(
+                lambda x: in_spec_of(None, x), stacked_args
+            )
+            # trace the output STRUCTURE with the axis-free variant — the
+            # collectives are unbound outside shard_map
             out_spec = jax.tree_util.tree_map(
                 lambda _: P("client"),
-                jax.eval_shape(map_clients, stacked_args),
+                jax.eval_shape(make_map_clients(None), stacked_args),
             )
             mapped = shard_map(
                 map_clients, mesh=mesh, in_specs=(spec,),

@@ -153,7 +153,10 @@ class Trainer:
         _tick("model init")
 
         # ---- mesh ----
-        self.mesh = make_mesh() if self.use_mesh else None
+        self.mesh = (
+            make_mesh(data_shards=max(1, cfg.mesh.data_axis))
+            if self.use_mesh else None
+        )
 
         # ---- algorithm ----
         self.algo = algo_registry.get_algorithm(cfg.algorithm)
@@ -245,11 +248,18 @@ class Trainer:
 
     @property
     def round_mesh(self):
-        """Mesh for shard_map'd client parallelism, when the client count
-        divides the client axis; None → single-shard lax.map."""
-        if (self.mesh is not None and self.mesh.shape["client"] > 1
-                and self.n_clients % self.mesh.shape["client"] == 0):
-            return self.mesh
+        """Mesh for shard_map'd parallelism: client axis splits the client
+        population; the optional data axis splits each client's batch.
+        None → single-shard lax.map."""
+        m = self.mesh
+        if m is None:
+            return None
+        cl = m.shape["client"]
+        dp = m.shape.get("data", 1)
+        if ((cl > 1 or dp > 1)
+                and self.n_clients % cl == 0
+                and self.cfg.batch_size % dp == 0):
+            return m
         return None
 
     def next_key(self):

@@ -39,3 +39,25 @@ def test_sharded_round_matches_unsharded():
         jax.tree_util.tree_leaves(t_plain.global_vars["params"])[0]
     )
     np.testing.assert_allclose(leaf_s, leaf_p, rtol=1e-4, atol=1e-5)
+
+
+def test_data_axis_round_runs():
+    """4 clients × 2-way per-client data parallelism on the 8-device mesh:
+    grads pmean over the 'data' axis, BN stats synced."""
+    from fedmlp_tpu.config import MeshConfig
+
+    cfg = Config(
+        algorithm="fedavg", model="smallcnn", batch_size=8, base_lr=1e-3,
+        n_clients=4, local_ep=1, rounds_warmup=2, eval_every=100, seed=19,
+        mesh=MeshConfig(data_axis=2),
+        data=DataConfig(name="synthetic", n_classes=4, image_size=32,
+                        synthetic_train_size=64, synthetic_test_size=16),
+        compute_dtype="float32",
+    )
+    t = Trainer(cfg)
+    assert t.mesh.shape == {"client": 4, "data": 2}
+    assert t.round_mesh is not None
+    rec = t.run_round(0)
+    assert np.isfinite(rec.client_losses).all()
+    rec = t.run_round(1)
+    assert np.isfinite(rec.client_losses).all()
