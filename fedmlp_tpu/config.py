@@ -58,6 +58,10 @@ class DataConfig:
     # weak-view warp backend: 'gather' (single-pass bilinear, XLA gathers),
     # 'paeth' (3-shear take_along_axis), 'pallas' (3-shear roll kernel)
     augment_backend: str = "gather"
+    # stream image batches from the packed .npy on disk via the native
+    # threaded loader instead of keeping the dataset resident in HBM
+    # (for datasets larger than device memory)
+    host_stream: bool = False
 
 
 @dataclass(frozen=True)

@@ -62,7 +62,7 @@ def torch_adam(lr: float, weight_decay: float = 5e-4, b1=0.9, b2=0.999, eps=1e-8
 class FederatedData:
     """All static data of a federation, ready for device gathers."""
 
-    images: jnp.ndarray          # uint8 [N, H, W, 3]
+    images: jnp.ndarray | None   # uint8 [N, H, W, 3]; None = host-streamed
     targets: jnp.ndarray         # f32 [N, C] (TRUE labels — eval/diagnostics)
     obs_targets: jnp.ndarray     # f32 [K, M, C] observed (masked) labels
     idx: jnp.ndarray             # i32 [K, M] global sample index table
@@ -95,6 +95,7 @@ def build_federated_data(
     active_class_lists: list[list[int]],
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
+    device_images: bool = True,
 ) -> FederatedData:
     """Densify the reference's Python-side bookkeeping into arrays.
 
@@ -122,7 +123,7 @@ def build_federated_data(
         class_num[k] = cn
         loss_w[k] = n_local[k] / np.maximum(cn, 1e-12)
     return FederatedData(
-        images=jnp.asarray(images),
+        images=jnp.asarray(images) if device_images else None,
         targets=jnp.asarray(targets, jnp.float32),
         obs_targets=jnp.asarray(obs),
         idx=jnp.asarray(idx),
@@ -193,6 +194,15 @@ def tree_index(tree, i):
 # ----------------------------------------------------------------------
 # Round-data gather (its own jitted program — see round_fn docstring)
 # ----------------------------------------------------------------------
+
+@jax.jit
+def gather_round_samples(idx, sample_arrays, pos):
+    """Host-stream variant: gather only the small per-sample tables on
+    device; images come from the native loader (data/native_loader.py)."""
+    S, K, B = pos.shape
+    karange = jnp.arange(K)[None, :, None]
+    return {k: v[karange, pos] for k, v in sample_arrays.items()}
+
 
 @jax.jit
 def gather_round_data(images, idx, sample_arrays, pos):

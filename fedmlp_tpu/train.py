@@ -48,6 +48,7 @@ class Trainer:
     test_ds: Optional[ArrayDataset] = None
     dict_users: Optional[dict] = None
     use_mesh: bool = True
+    images_npy: Optional[str] = None  # packed shard path for host_stream
     history: list = field(default_factory=list)
 
     def __post_init__(self):
@@ -121,12 +122,34 @@ class Trainer:
             self.active_lists = active_class_lists(cfg)[: self.n_clients]
 
         # ---- device-resident federation state ----
+        self.host_stream = bool(cfg.data.host_stream)
+        self.loader = None
+        if self.host_stream:
+            if cfg.algorithm in ("fedmlp", "rofl"):
+                raise NotImplementedError(
+                    "host_stream does not yet cover harvest-based "
+                    "algorithms (fedmlp/rofl) — their prototype passes "
+                    "read the device-resident dataset"
+                )
+            from fedmlp_tpu.data.native_loader import PackLoader
+
+            npy = self.images_npy or (
+                cfg.data.root and os.path.join(cfg.data.root, "train",
+                                               "images.npy")
+            )
+            assert npy and os.path.exists(npy), (
+                "host_stream requires a packed images.npy (data.root or "
+                "Trainer(images_npy=...))"
+            )
+            self.loader = PackLoader(npy)
         self.fd = rt.build_federated_data(
             self.train_ds.images, self.train_ds.targets, self.dict_users,
             self.hidden, self.active_lists,
             mean=cfg.data.mean, std=cfg.data.std,
+            device_images=not self.host_stream,
         )
-        jax.block_until_ready(self.fd.images)
+        if self.fd.images is not None:
+            jax.block_until_ready(self.fd.images)
         _tick("federated data on device")
         self.dict_len = np.asarray(self.fd.n_local)
         self.class_active_clients, self.class_negative_clients = class_client_lists(
@@ -231,9 +254,18 @@ class Trainer:
             "global_vars": self.global_vars,
         }
         pos_j = jnp.asarray(pos)
-        imgs, sample = rt.gather_round_data(
-            self.fd.images, self.fd.idx, sample_arrays, pos_j
-        )
+        if self.host_stream:
+            # native threaded loader gathers uint8 batches out of the
+            # memory-mapped shard; only the small tables gather on device
+            gidx = np.asarray(self.fd.idx)[
+                np.arange(self.n_clients)[None, :, None], pos
+            ]  # [S, K, B]
+            imgs = jnp.asarray(self.loader.gather(gidx.astype(np.int64)))
+            sample = rt.gather_round_samples(self.fd.idx, sample_arrays, pos_j)
+        else:
+            imgs, sample = rt.gather_round_data(
+                self.fd.images, self.fd.idx, sample_arrays, pos_j
+            )
         plan = {
             "images": imgs,
             "sample": sample,

@@ -53,3 +53,61 @@ def test_async_prefetch_roundtrip(packed):
     out2 = ld.wait()
     np.testing.assert_array_equal(out2, arr[idx2])
     ld.close()
+
+
+def test_host_stream_training_matches_device_path(tmp_path):
+    """End-to-end: host-streamed rounds must equal device-resident rounds
+    bitwise (same RNG → same batches → same math)."""
+    import jax
+
+    from fedmlp_tpu.config import Config, DataConfig
+    from fedmlp_tpu.data.datasets import make_synthetic_dataset
+    from fedmlp_tpu.train import Trainer
+
+    ds = make_synthetic_dataset(96, 4, 32, seed=5)
+    test = make_synthetic_dataset(16, 4, 32, seed=6)
+    npy = str(tmp_path / "images.npy")
+    np.save(npy, ds.images)
+
+    def cfg(stream):
+        return Config(
+            algorithm="fedavg", model="smallcnn", batch_size=8,
+            base_lr=1e-3, n_clients=4, local_ep=1, rounds_warmup=2,
+            eval_every=100, seed=23,
+            data=DataConfig(name="synthetic", n_classes=4, image_size=32,
+                            host_stream=stream),
+            compute_dtype="float32",
+        )
+
+    t_dev = Trainer(cfg(False), train_ds=ds, test_ds=test)
+    t_str = Trainer(cfg(True), train_ds=ds, test_ds=test, images_npy=npy)
+    assert t_str.loader is not None
+
+    r_dev = t_dev.run_round(0)
+    r_str = t_str.run_round(0)
+    np.testing.assert_allclose(r_str.client_losses, r_dev.client_losses,
+                               rtol=1e-5, atol=1e-6)
+    leaf_d = np.asarray(
+        jax.tree_util.tree_leaves(t_dev.global_vars["params"])[0])
+    leaf_s = np.asarray(
+        jax.tree_util.tree_leaves(t_str.global_vars["params"])[0])
+    np.testing.assert_allclose(leaf_s, leaf_d, rtol=1e-5, atol=1e-6)
+
+
+def test_host_stream_rejects_harvest_algorithms(tmp_path):
+    from fedmlp_tpu.config import Config, DataConfig
+    from fedmlp_tpu.data.datasets import make_synthetic_dataset
+    from fedmlp_tpu.train import Trainer
+
+    ds = make_synthetic_dataset(32, 4, 16, seed=1)
+    npy = str(tmp_path / "im.npy")
+    np.save(npy, ds.images)
+    cfg = Config(
+        algorithm="fedmlp", model="smallcnn", batch_size=8, n_clients=4,
+        rounds_warmup=1,
+        data=DataConfig(name="synthetic", n_classes=4, image_size=16,
+                        host_stream=True),
+        compute_dtype="float32",
+    )
+    with pytest.raises(NotImplementedError):
+        Trainer(cfg, train_ds=ds, test_ds=ds, images_npy=npy)
