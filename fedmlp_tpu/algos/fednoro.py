@@ -31,7 +31,7 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalar
     _, logits, new_rest = apply_train(model, params, rest, views["x"])
     probs = jax.nn.sigmoid(logits)
     soft = jax.nn.sigmoid(views["g_logits"] / 0.8)  # teacher temperature
-    B = logits.shape[0]
+    B, C = logits.shape
 
     bce = masked_rows(L.bce_on_probs(probs, labels), svalid)
     mse = masked_rows((probs - soft) ** 2, svalid)
@@ -39,13 +39,41 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalar
     bce_m = (bce * active[None, :]).sum() / (B * jnp.maximum(active.sum(), 1.0))
     kl_m = (mse * negative[None, :]).sum() / (B * jnp.maximum(negative.sum(), 1.0))
     w = scalars["weight_kd"]
-    return w * kl_m + (1.0 - w) * bce_m, (new_rest, {})
+    loss_kd = w * kl_m + (1.0 - w) * bce_m
+
+    # post-warm-up: clean clients drop the teacher and train plain BCE over
+    # the full matrix (reference :162-190); noisy clients keep LA_KD
+    # (:191-231). The same student forward feeds both; the scalar select
+    # dispatches per client.
+    loss_clean = bce.sum() / (B * C)
+    post = scalars.get("post_warmup", jnp.float32(0.0))
+    noisy = ctx.get("noisy_flag", jnp.float32(1.0))
+    loss = jnp.where(
+        post > 0, jnp.where(noisy > 0, loss_kd, loss_clean), loss_kd
+    )
+    return loss, (new_rest, {})
 
 
 def round_scalars(trainer, rnd):
     cfg = trainer.cfg.fednoro
     w = L.sigmoid_rampup_bounded(rnd, cfg.begin, cfg.end) * cfg.a
-    return {"weight_kd": jnp.float32(w)}
+    return {
+        "weight_kd": jnp.float32(w),
+        "post_warmup": jnp.float32(1.0 if rnd >= cfg.rounds_warmup else 0.0),
+    }
+
+
+def extra_ctx(trainer):
+    """Per-client noisy flags from the last GMM split (1.0 until a split
+    has been made — every client keeps the KD loss pre-warm-up)."""
+    import numpy as np
+
+    noisy = trainer.server_state.get("noisy") if trainer.server_state else None
+    flags = np.ones((trainer.n_clients,), np.float32)
+    if noisy:
+        flags[:] = 0.0
+        flags[list(noisy)] = 1.0
+    return {"noisy_flag": jnp.asarray(flags)}
 
 
 # ----------------------------------------------------------------------

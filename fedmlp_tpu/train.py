@@ -223,7 +223,7 @@ class Trainer:
         # loss_w_unknown: 1 everywhere except active classes (reference:
         # utils/local_training.py:41-42)
         loss_w_unknown = active_f * fd.loss_w + (1.0 - active_f)
-        return {
+        ctx = {
             "active": active_f,
             "negative": 1.0 - active_f,
             "loss_w": fd.loss_w,
@@ -231,6 +231,9 @@ class Trainer:
             "class_num": fd.class_num,
             "n_local": fd.n_local.astype(jnp.float32),
         }
+        if hasattr(self.algo, "extra_ctx"):
+            ctx.update(self.algo.extra_ctx(self))
+        return ctx
 
     # ------------------------------------------------------------------
     def local_pass(self, round_fn, sample_arrays: dict, scalars: dict,

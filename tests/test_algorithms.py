@@ -95,3 +95,18 @@ def test_rofl_centroids_and_pseudo():
     assert np.isfinite(st["f_G"]).all()
     assert st["pseudo"].shape == (4, t.fd.max_local, 4)
     assert set(np.unique(st["pseudo"])) <= {0.0, 1.0}
+
+
+def test_fednoro_post_warmup_clean_noisy_dispatch():
+    from fedmlp_tpu.config import FedNoRoConfig
+
+    t = Trainer(cfg_for("fednoro",
+                        fednoro=FedNoRoConfig(rounds_warmup=1, begin=0, end=2)))
+    run_rounds(t, 1)  # warm-up round
+    rec = t.run_round(1)  # post-warm-up: GMM split + DaAgg + branch dispatch
+    assert np.isfinite(rec.client_losses).all()
+    st = t.server_state
+    assert st["clean"] is not None and st["noisy"] is not None
+    assert len(st["clean"]) + len(st["noisy"]) == 4
+    rec = t.run_round(2)  # a round with the noisy_flag ctx active
+    assert np.isfinite(rec.client_losses).all()
