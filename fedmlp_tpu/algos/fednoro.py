@@ -81,22 +81,6 @@ def extra_ctx(trainer):
 # LA_KD branch (:191-231), GMM clean/noisy split + DaAgg aggregation.
 # ----------------------------------------------------------------------
 
-def clean_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
-                  rng, scalars):
-    """Clean clients train plain BCE on active classes (reference
-    :162-190 — LogitAdjust_Multilabel over the criterion's class view)."""
-    labels = sample["labels"]
-    _, logits, new_rest = apply_train(model, params, rest, views["x"])
-    probs = jax.nn.sigmoid(logits)
-    B = logits.shape[0]
-    bce = masked_rows(L.bce_on_probs(probs, labels), svalid)
-    # reference applies the criterion unsliced then .mean-like sum; the
-    # warm-up branch normalizes over active classes — clean branch uses the
-    # full matrix mean (LogitAdjust_Multilabel with no class slice)
-    loss = bce.sum() / (B * logits.shape[1])
-    return loss, (new_rest, {})
-
-
 def init_server_state(trainer):
     return {"clean": None, "noisy": None}
 

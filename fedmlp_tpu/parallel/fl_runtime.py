@@ -482,16 +482,25 @@ def make_local_round(
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
 
-            def in_spec_of(path_unused, x):
-                # batch-carrying tensors have ndim >= 3 with axis 2 == B
-                if (data_axis is not None and hasattr(x, "ndim")
-                        and x.ndim >= 3 and x.shape[1] == pos.shape[0]
-                        and x.shape[2] == pos.shape[2]):
+            # positions 3..6 of stacked_args are the batch-carrying tensors
+            # ([K, S, B, ...]) whose B axis splits over 'data'; everything
+            # else (vars/teacher/cstate/ctx/keys) shards on 'client' only
+            def batch_spec(x):
+                if data_axis is not None:
                     return P("client", None, "data")
                 return P("client")
 
-            spec = jax.tree_util.tree_map(
-                lambda x: in_spec_of(None, x), stacked_args
+            vars_a, teacher_a, cstate_a, imgs_a, sample_a, pos_a, valid_a, \
+                ctx_a, keys_a = stacked_args
+            cl_only = lambda t: jax.tree_util.tree_map(
+                lambda _: P("client"), t
+            )
+            spec = (
+                cl_only(vars_a), cl_only(teacher_a), cl_only(cstate_a),
+                batch_spec(imgs_a),
+                jax.tree_util.tree_map(batch_spec, sample_a),
+                batch_spec(pos_a), batch_spec(valid_a),
+                cl_only(ctx_a), P("client"),
             )
             # trace the output STRUCTURE with the axis-free variant — the
             # collectives are unbound outside shard_map
