@@ -255,7 +255,8 @@ def custom_round(trainer, rnd: int):
         if rnd == stage1_rounds - 1:
             harvest = _get_harvest(trainer)
             feats, probs = harvest(
-                svars, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+                svars, trainer.fd.images, trainer.fd.idx, trainer.next_key(),
+                loader=getattr(trainer, "loader", None),
             )
             taos, protos = _extract_stats(trainer, feats, probs)
             _aggregate_tao_proto(trainer, taos, protos, rnd)
@@ -266,7 +267,8 @@ def custom_round(trainer, rnd: int):
     harvest = _get_harvest(trainer)
     gstack = trainer.broadcast(trainer.global_vars)
     feats, probs = harvest(
-        gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+        gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key(),
+        loader=getattr(trainer, "loader", None),
     )
     proto = jnp.asarray(trainer.server_state["proto"])
     if not hasattr(trainer, "_fedmlp_score_jit"):
@@ -284,7 +286,8 @@ def custom_round(trainer, rnd: int):
     svars = out_state["vars"]
 
     feats, probs = harvest(
-        svars, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+        svars, trainer.fd.images, trainer.fd.idx, trainer.next_key(),
+        loader=getattr(trainer, "loader", None),
     )
     taos, protos = _extract_stats(trainer, feats, probs)
     _aggregate_tao_proto(trainer, taos, protos, rnd)

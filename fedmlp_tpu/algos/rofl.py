@@ -200,7 +200,8 @@ def custom_round(trainer, rnd: int):
     # 1. eval pass: global-guided pseudo-labels + round-0 centroids
     gstack = trainer.broadcast(trainer.global_vars)
     feats, probs = trainer._rofl_harvest(
-        gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key()
+        gstack, trainer.fd.images, trainer.fd.idx, trainer.next_key(),
+        loader=getattr(trainer, "loader", None),
     )
     # global-guided pseudo labels refreshed EVERY round (reference :480-496;
     # only the in-training label write-back is gated by T_pl)

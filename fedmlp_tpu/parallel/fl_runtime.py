@@ -575,11 +575,49 @@ def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True
         feats, probs = jax.lax.map(one_client, (stacked_vars, chunks, keys))
         return feats, probs  # [K, nb, B, ...]
 
-    def harvest(stacked_vars, images, idx, key):
+    @jax.jit
+    def forward_one_chunk(stacked_vars, chunk_imgs, key):
+        # chunk_imgs [K, B, ...]; lax.map over clients (unbatched weights)
+        K = chunk_imgs.shape[0]
+        keys = jax.random.split(key, K)
+
+        def one(args):
+            vars_k, imgs_k, key_k = args
+            return one_batch(vars_k, imgs_k, key_k)
+
+        return jax.lax.map(one, (stacked_vars, chunk_imgs, keys))
+
+    def harvest(stacked_vars, images, idx, key, loader=None):
+        """``images`` may be None when a host ``loader`` streams the packed
+        shard from disk (cfg.data.host_stream): chunks are gathered by the
+        native threaded loader with double-buffered prefetch (pl_submit/
+        pl_wait) so the next chunk's disk gather overlaps this chunk's
+        device forward — the dataset never materializes in HBM."""
         K, M = idx.shape
         nb = (M + batch_size - 1) // batch_size
-        chunks = gather_chunks(images, idx)
-        feats, probs = forward_chunks(stacked_vars, chunks, key)
+        if images is not None:
+            chunks = gather_chunks(images, idx)
+            feats, probs = forward_chunks(stacked_vars, chunks, key)
+        else:
+            assert loader is not None, "host-stream harvest needs a loader"
+            idx_np = np.asarray(idx)
+            pad = nb * batch_size - M
+            idx_p = np.pad(idx_np, ((0, 0), (0, pad)), mode="edge")
+            gidx = idx_p.reshape(K, nb, batch_size).astype(np.int64)
+            feats_l, probs_l = [], []
+            loader.submit(gidx[:, 0])
+            for j in range(nb):
+                chunk = loader.wait()
+                if j + 1 < nb:
+                    loader.submit(gidx[:, j + 1])  # prefetch next chunk
+                f, p = forward_one_chunk(
+                    stacked_vars, jnp.asarray(chunk),
+                    jax.random.fold_in(key, j),
+                )
+                feats_l.append(f)
+                probs_l.append(p)
+            feats = jnp.stack(feats_l, axis=1)  # [K, nb, B, D]
+            probs = jnp.stack(probs_l, axis=1)
         feats = feats.reshape(K, nb * batch_size, -1)[:, :M]
         probs = probs.reshape(K, nb * batch_size, -1)[:, :M]
         return feats, probs

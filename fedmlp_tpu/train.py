@@ -125,12 +125,6 @@ class Trainer:
         self.host_stream = bool(cfg.data.host_stream)
         self.loader = None
         if self.host_stream:
-            if cfg.algorithm in ("fedmlp", "rofl"):
-                raise NotImplementedError(
-                    "host_stream does not yet cover harvest-based "
-                    "algorithms (fedmlp/rofl) — their prototype passes "
-                    "read the device-resident dataset"
-                )
             from fedmlp_tpu.data.native_loader import PackLoader
 
             npy = self.images_npy or (

@@ -94,20 +94,30 @@ def test_host_stream_training_matches_device_path(tmp_path):
     np.testing.assert_allclose(leaf_s, leaf_d, rtol=1e-5, atol=1e-6)
 
 
-def test_host_stream_rejects_harvest_algorithms(tmp_path):
-    from fedmlp_tpu.config import Config, DataConfig
+def test_host_stream_fedmlp_two_stage(tmp_path):
+    """Harvest-based FedMLP streams its prototype passes chunk-by-chunk
+    through the native loader's double-buffered prefetch."""
+    from fedmlp_tpu.config import Config, DataConfig, FedMLPConfig
     from fedmlp_tpu.data.datasets import make_synthetic_dataset
     from fedmlp_tpu.train import Trainer
 
-    ds = make_synthetic_dataset(32, 4, 16, seed=1)
+    ds = make_synthetic_dataset(96, 4, 32, seed=7)
+    test = make_synthetic_dataset(16, 4, 32, seed=8)
     npy = str(tmp_path / "im.npy")
     np.save(npy, ds.images)
     cfg = Config(
-        algorithm="fedmlp", model="smallcnn", batch_size=8, n_clients=4,
-        rounds_warmup=1,
-        data=DataConfig(name="synthetic", n_classes=4, image_size=16,
+        algorithm="fedmlp", model="smallcnn", batch_size=8, base_lr=1e-3,
+        n_clients=4, local_ep=1, rounds_warmup=3, eval_every=100, seed=29,
+        fedmlp=FedMLPConfig(rounds_stage1=2, clean_threshold=0.2,
+                            noise_threshold=0.2),
+        data=DataConfig(name="synthetic", n_classes=4, image_size=32,
                         host_stream=True),
         compute_dtype="float32",
     )
-    with pytest.raises(NotImplementedError):
-        Trainer(cfg, train_ds=ds, test_ds=ds, images_npy=npy)
+    t = Trainer(cfg, train_ds=ds, test_ds=test, images_npy=npy)
+    assert t.fd.images is None  # dataset never lands in device memory
+    for r in range(3):
+        rec = t.run_round(r)
+        assert np.isfinite(rec.client_losses).all()
+    assert (t.server_state["tags"] > 0).sum() > 0
+    assert np.abs(t.server_state["proto"]).sum() > 0
