@@ -40,6 +40,41 @@ def tsne_visual(features: np.ndarray, labels: np.ndarray, rnd: int,
     return path
 
 
+def roc_print(y_true, probs, out_path: str = "multi_models_roc.png",
+              class_names=None) -> str:
+    """Per-class ROC curve figure (reference ROCprint,
+    utils/evaluations.py:76-86)."""
+    from fedmlp_tpu.eval.metrics import _binary_clf_curve, roc_auc
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    y_true = np.asarray(y_true)
+    probs = np.asarray(probs)
+    fig = plt.figure()
+    for c in range(y_true.shape[1]):
+        fps, tps, _ = _binary_clf_curve(y_true[:, c].astype(float), probs[:, c])
+        n_pos = max(y_true[:, c].sum(), 1)
+        n_neg = max((1 - y_true[:, c]).sum(), 1)
+        tpr = np.r_[0.0, tps] / n_pos
+        fpr = np.r_[0.0, fps] / n_neg
+        name = class_names[c] if class_names else str(c)
+        auc_c = roc_auc(y_true[:, c], probs[:, c])
+        plt.plot(fpr, tpr, lw=1, label=f"{name} (AUC={auc_c:.3f})")
+    plt.plot([0, 1], [0, 1], "--", lw=1, color="grey")
+    plt.xlim([0, 1])
+    plt.ylim([0, 1])
+    plt.xlabel("False Positive Rate")
+    plt.ylabel("True Positive Rate")
+    plt.title("ROC Curve")
+    plt.legend(loc="lower right", fontsize=8)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def fn_tn_loss_separation(trainer, client: int) -> dict:
     """Diagnostic: per-missing-class loss separation between hidden
     positives (false negatives) and true negatives (reference

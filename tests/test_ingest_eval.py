@@ -85,3 +85,14 @@ def test_tsne_visual(tmp_path, rng):
     labels = rng.randint(0, 2, 30)
     path = tsne_visual(feats, labels, rnd=1, name="unit", out_dir=str(tmp_path))
     assert os.path.exists(path)
+
+
+def test_roc_print(tmp_path, rng):
+    from fedmlp_tpu.eval.visual import roc_print
+
+    y = (rng.rand(50, 3) < 0.4).astype(float)
+    y[0] = 1
+    y[1] = 0
+    p = rng.rand(50, 3)
+    path = roc_print(y, p, out_path=str(tmp_path / "roc.png"))
+    assert os.path.exists(path)
