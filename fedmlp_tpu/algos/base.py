@@ -6,14 +6,17 @@ import jax
 import jax.numpy as jnp
 
 
-def apply_train(model, params, rest, x):
+def apply_train(model, params, rest, x, rng=None):
     """Train-mode forward with BN running-stat update.
 
     Returns (feature, logits, new_rest). ``rest`` holds the non-param
-    variable collections ({'batch_stats': ...})."""
+    variable collections ({'batch_stats': ...}). ``rng`` seeds stochastic
+    layers (SENet-154 / EfficientNet dropout); models without dropout
+    ignore it."""
     variables = {"params": params, **rest}
+    rngs = {"dropout": rng} if rng is not None else None
     (feature, logits), mutated = model.apply(
-        variables, x, train=True, mutable=["batch_stats"]
+        variables, x, train=True, mutable=["batch_stats"], rngs=rngs
     )
     new_rest = dict(rest)
     new_rest.update(mutated)

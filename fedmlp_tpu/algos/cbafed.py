@@ -35,7 +35,7 @@ NEEDS_GLOBAL = False
 def warmup_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
                    rng, scalars):
     labels = sample["labels"]
-    _, logits, new_rest = apply_train(model, params, rest, views["x"])
+    _, logits, new_rest = apply_train(model, params, rest, views["x"], rng)
     B = logits.shape[0]
     active = ctx["active"]
     sup = masked_rows(L.bce_with_logits(logits, labels, ctx["loss_w"]), svalid)
@@ -48,7 +48,7 @@ def pseudo_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
                    rng, scalars):
     labels = sample["labels"]
     tao = scalars["tao"]  # [C]
-    _, logits, new_rest = apply_train(model, params, rest, views["x"])
+    _, logits, new_rest = apply_train(model, params, rest, views["x"], rng)
     B, C = logits.shape
     active, negative = ctx["active"], ctx["negative"]
     sv = svalid.astype(jnp.float32)

@@ -19,7 +19,7 @@ NEEDS_GLOBAL = False
 
 def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
-    _, logits, new_rest = apply_train(model, params, rest, views["x"])
+    _, logits, new_rest = apply_train(model, params, rest, views["x"], rng)
     elem = L.bce_with_logits(logits, labels, ctx["loss_w"])
     elem = masked_rows(elem, svalid)
     B, C = logits.shape

@@ -49,8 +49,8 @@ def _confuse_matrix(logits, labels, sample_w):
 def sup_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
                 rng, scalars):
     labels = sample["labels"]
-    _, l1, rest1 = apply_train(model, params, rest, views["x1"])
-    _, l2, rest2 = apply_train(model, params, rest1, views["x2"])
+    _, l1, rest1 = apply_train(model, params, rest, views["x1"], rng)
+    _, l2, rest2 = apply_train(model, params, rest1, views["x2"], jax.random.fold_in(rng, 1))
     B = l1.shape[0]
     active = ctx["active"]
     sup = masked_rows(
@@ -71,8 +71,8 @@ def relation_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
     labels = sample["labels"]
     target_matrix = scalars["target_matrix"]
     cw = scalars["consistency_weight"]
-    _, outputs, rest1 = apply_train(model, params, rest, views["x1"])
-    _, l2, rest2 = apply_train(model, params, rest1, views["x2"])
+    _, outputs, rest1 = apply_train(model, params, rest, views["x1"], rng)
+    _, l2, rest2 = apply_train(model, params, rest1, views["x2"], jax.random.fold_in(rng, 1))
     ema_output = views["t_logits2"]
     B, C = outputs.shape
     sv = svalid.astype(jnp.float32)

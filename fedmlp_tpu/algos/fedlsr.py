@@ -26,8 +26,8 @@ NEEDS_GLOBAL = False
 
 def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
-    _, l1, rest1 = apply_train(model, params, rest, views["x1"])
-    _, l2, rest2 = apply_train(model, params, rest1, views["x2"])
+    _, l1, rest1 = apply_train(model, params, rest, views["x1"], rng)
+    _, l2, rest2 = apply_train(model, params, rest1, views["x2"], jax.random.fold_in(rng, 1))
     C = l1.shape[1]
 
     mix1 = jax.random.uniform(rng)  # np.random.beta(1, 1) ≡ U(0, 1)

@@ -60,8 +60,8 @@ NEEDS_GLOBAL = True
 
 def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
-    _, logits1, rest1 = apply_train(model, params, rest, views["x1"])
-    _, logits2, rest2 = apply_train(model, params, rest1, views["x2"])
+    _, logits1, rest1 = apply_train(model, params, rest, views["x1"], rng)
+    _, logits2, rest2 = apply_train(model, params, rest1, views["x2"], jax.random.fold_in(rng, 1))
     p1 = jax.nn.sigmoid(logits1)
     p2 = jax.nn.sigmoid(logits2)
     B, C = logits1.shape
@@ -86,7 +86,7 @@ def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
                    rng, scalars):
     labels = sample["labels"]
     supmask = sample["supmask"]  # [B, C] — active ∪ tagged classes
-    _, logits1, rest1 = apply_train(model, params, rest, views["x1"])
+    _, logits1, rest1 = apply_train(model, params, rest, views["x1"], rng)
     p1 = jax.nn.sigmoid(logits1)
     cell = supmask * svalid.astype(supmask.dtype)[:, None]
     sup = L.bce_on_probs(p1, labels) * cell

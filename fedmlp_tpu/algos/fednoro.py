@@ -28,7 +28,7 @@ NEEDS_GLOBAL = True
 
 def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
-    _, logits, new_rest = apply_train(model, params, rest, views["x"])
+    _, logits, new_rest = apply_train(model, params, rest, views["x"], rng)
     probs = jax.nn.sigmoid(logits)
     soft = jax.nn.sigmoid(views["g_logits"] / 0.8)  # teacher temperature
     B, C = logits.shape

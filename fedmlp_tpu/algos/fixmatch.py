@@ -26,8 +26,8 @@ NEEDS_GLOBAL = False
 
 def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
-    _, logits_weak, rest1 = apply_train(model, params, rest, views["x1"])
-    _, logits_strong, rest2 = apply_train(model, params, rest1, views["x2"])
+    _, logits_weak, rest1 = apply_train(model, params, rest, views["x1"], rng)
+    _, logits_strong, rest2 = apply_train(model, params, rest1, views["x2"], jax.random.fold_in(rng, 1))
     B = logits_weak.shape[0]
     active, negative = ctx["active"], ctx["negative"]
 

@@ -64,7 +64,7 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalar
     lambda_cen0 = scalars["lambda_cen"]
     lambda_e = scalars["lambda_e"]
 
-    feature, logit, new_rest = apply_train(model, params, rest, views["x"])
+    feature, logit, new_rest = apply_train(model, params, rest, views["x"], rng)
     feature = jax.lax.stop_gradient(feature)
     B, C = logit.shape
     sv = svalid.astype(jnp.float32)

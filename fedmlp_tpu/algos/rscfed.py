@@ -30,7 +30,7 @@ TEACHER_DECAY = 0.999  # weight1 = 1 - 0.001
 
 def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalars):
     labels = sample["labels"]
-    _, logits1, new_rest = apply_train(model, params, rest, views["x1"])
+    _, logits1, new_rest = apply_train(model, params, rest, views["x1"], rng)
     p1 = jax.nn.sigmoid(logits1)
     pt = jax.nn.sigmoid(views["t_logits2"])
     B = logits1.shape[0]

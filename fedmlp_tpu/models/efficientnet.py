@@ -5,9 +5,15 @@ Same compound-scaling family the reference pulls from efficientnet-pytorch
 bench flagship is Efficient_b0 (BASELINE.json). Feature = GAP of the 1280·w
 head conv output; forward returns (feature, logits).
 
-Stochastic depth / dropout are exposed but default off: the reference runs
-these models in a federated loop where per-step RNG is owned by the caller;
-pass ``deterministic=False`` plus an rng to enable.
+Fidelity notes vs efficientnet-pytorch (lukemelas):
+* stride-2 convs use TF-"SAME" asymmetric padding (pad more on the
+  right/bottom), matching Conv2dStaticSamePadding — required for converted
+  ImageNet weights to agree numerically;
+* dropout (variant rate) on the pooled feature and per-block stochastic
+  depth (drop_connect_rate=0.2 scaled by block index) are active in train
+  mode when a 'dropout' rng stream is provided (the engine's apply_train
+  threads one); without the stream they are no-ops, so eval and rng-less
+  callers are deterministic.
 """
 
 from __future__ import annotations
@@ -17,6 +23,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fedmlp_tpu.models.heads import FCNormHead, LinearHead
@@ -56,6 +63,22 @@ def _round_repeats(repeats: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * repeats))
 
 
+def _same_pads(n: int, k: int, s: int):
+    """TF-SAME padding for one spatial dim (Conv2dStaticSamePadding)."""
+    out = -(-n // s)  # ceil
+    total = max(0, (out - 1) * s + k - n)
+    return (total // 2, total - total // 2)
+
+
+def _drop_connect(h, rate, rng):
+    """Per-sample stochastic depth (efficientnet-pytorch ``drop_connect``)."""
+    keep = 1.0 - rate
+    mask = jnp.floor(
+        keep + jax.random.uniform(rng, (h.shape[0], 1, 1, 1), jnp.float32)
+    ).astype(h.dtype)
+    return h / keep * mask
+
+
 class MBConv(nn.Module):
     in_ch: int
     out_ch: int
@@ -65,9 +88,10 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     dtype: jnp.dtype = jnp.bfloat16
     norm: Any = None
+    drop_rate: float = 0.0  # stochastic depth, scaled by global block index
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stochastic: bool = False):
         conv = partial(nn.Conv, dtype=self.dtype, use_bias=False)
         h = x
         mid = self.in_ch * self.expand
@@ -75,10 +99,11 @@ class MBConv(nn.Module):
             h = conv(mid, (1, 1), name="expand_conv")(h)
             h = self.norm(name="expand_bn")(h)
             h = nn.swish(h)
-        pad = self.kernel // 2
+        k, s = self.kernel, self.stride
         h = nn.Conv(
-            mid, (self.kernel, self.kernel), (self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)], feature_group_count=mid,
+            mid, (k, k), (s, s),
+            padding=[_same_pads(h.shape[1], k, s), _same_pads(h.shape[2], k, s)],
+            feature_group_count=mid,
             use_bias=False, dtype=self.dtype, name="dw_conv",
         )(h)
         h = self.norm(name="dw_bn")(h)
@@ -93,6 +118,8 @@ class MBConv(nn.Module):
         h = conv(self.out_ch, (1, 1), name="project_conv")(h)
         h = self.norm(name="project_bn")(h)
         if self.stride == 1 and self.in_ch == self.out_ch:
+            if stochastic and self.drop_rate > 0:
+                h = _drop_connect(h, self.drop_rate, self.make_rng("dropout"))
             h = h + x
         return h
 
@@ -104,6 +131,8 @@ class EfficientNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     normed_head: bool = False
     blocks: Sequence = _B0_BLOCKS
+    dropout_p: float = 0.2        # variant rate (set by the factory)
+    drop_connect_rate: float = 0.2  # lukemelas global_params default
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -114,13 +143,19 @@ class EfficientNet(nn.Module):
             epsilon=1e-3,
             dtype=self.dtype,
         )
+        stochastic = train and self.has_rng("dropout")
         x = x.astype(self.dtype)
         stem = _round_filters(32, self.width_mult)
-        x = nn.Conv(stem, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+        x = nn.Conv(stem, (3, 3), (2, 2),
+                    padding=[_same_pads(x.shape[1], 3, 2),
+                             _same_pads(x.shape[2], 3, 2)],
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = norm(name="stem_bn")(x)
         x = nn.swish(x)
         in_ch = stem
+        n_blocks = sum(_round_repeats(reps, self.depth_mult)
+                       for _, _, reps, _, _ in self.blocks)
+        gi = 0  # global block index scales the stochastic-depth rate
         for bi, (expand, ch, reps, stride, kernel) in enumerate(self.blocks):
             out_ch = _round_filters(ch, self.width_mult)
             for r in range(_round_repeats(reps, self.depth_mult)):
@@ -132,15 +167,20 @@ class EfficientNet(nn.Module):
                     stride=stride if r == 0 else 1,
                     dtype=self.dtype,
                     norm=norm,
+                    drop_rate=self.drop_connect_rate * gi / n_blocks,
                     name=f"block{bi}_{r}",
-                )(x)
+                )(x, stochastic=stochastic)
                 in_ch = out_ch
+                gi += 1
         head_ch = _round_filters(1280, self.width_mult)
         x = nn.Conv(head_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="head_conv")(x)
         x = norm(name="head_bn")(x)
         x = nn.swish(x)
         feature = x.mean(axis=(1, 2)).astype(jnp.float32)
+        feature = nn.Dropout(self.dropout_p, name="dropout")(
+            feature, deterministic=not stochastic
+        )
         head = (FCNormHead if self.normed_head else LinearHead)(
             self.num_classes, name="head"
         )
@@ -149,7 +189,8 @@ class EfficientNet(nn.Module):
 
 def _make(variant):
     def ctor(num_classes, **kw):
-        w, d, _res, _drop = _SCALING[variant]
+        w, d, _res, drop = _SCALING[variant]
+        kw.setdefault("dropout_p", drop)
         return EfficientNet(w, d, num_classes, **kw)
 
     ctor.__name__ = f"efficientnet_{variant}"

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from fedmlp_tpu.models import densenet, efficientnet, resnet, smallcnn, vgg
+from fedmlp_tpu.models import (densenet, efficientnet, resnet, senet,
+                               smallcnn, vgg)
 
 MODEL_REGISTRY = {
     # test/debug backbone (not in the reference zoo)
@@ -26,7 +27,7 @@ MODEL_REGISTRY = {
     "senet50": (resnet.se_resnet50, 2048),
     "senet101": (resnet.se_resnet101, 2048),
     "senet152": (resnet.se_resnet152, 2048),
-    "senet154": (resnet.senet154, 2048),
+    "senet154": (senet.senet154, 2048),
     # efficientnets
     "efficient_b0": (efficientnet.efficientnet_b0, 1280),
     "efficient_b1": (efficientnet.efficientnet_b1, 1280),

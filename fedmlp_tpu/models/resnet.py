@@ -164,5 +164,5 @@ def se_resnet152(num_classes, **kw):
     return ResNet([3, 8, 36, 3], Bottleneck, num_classes, se_ratio=1 / 16, **kw)
 
 
-def senet154(num_classes, **kw):
-    return ResNet([3, 8, 36, 3], Bottleneck, num_classes, se_ratio=1 / 16, **kw)
+# senet154 lives in models/senet.py — its topology (3-conv stem, grouped
+# 3x3 bottlenecks, 2x width, dropout) is not an SE-ResNet variant.

@@ -82,6 +82,109 @@ _STAGES = {
 }
 
 
+def _conv(w):  # OIHW → HWIO (works for grouped/depthwise too)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _put(tree, path, val):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(val)
+
+
+def convert_efficientnet(state: dict, variant: str) -> dict:
+    """efficientnet-pytorch (lukemelas) state_dict → flax trees matching
+    fedmlp_tpu.models.efficientnet naming (the reference loads these
+    checkpoints via EfficientNet.from_pretrained, reference:
+    model/efficientnet.py:28-89). The _fc head is skipped (head surgery)."""
+    from fedmlp_tpu.models.efficientnet import (_B0_BLOCKS, _SCALING,
+                                                _round_repeats)
+
+    _, depth_mult, _, _ = _SCALING[variant]
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst, src):
+        _put(params, dst + ("scale",), state[f"{src}.weight"])
+        _put(params, dst + ("bias",), state[f"{src}.bias"])
+        _put(stats, dst + ("mean",), state[f"{src}.running_mean"])
+        _put(stats, dst + ("var",), state[f"{src}.running_var"])
+
+    _put(params, ("stem_conv", "kernel"), _conv(state["_conv_stem.weight"]))
+    bn(("stem_bn",), "_bn0")
+    g = 0
+    for bi, (_expand, _ch, reps, _stride, _kernel) in enumerate(_B0_BLOCKS):
+        for r in range(_round_repeats(reps, depth_mult)):
+            src, dst = f"_blocks.{g}", f"block{bi}_{r}"
+            if f"{src}._expand_conv.weight" in state:
+                _put(params, (dst, "expand_conv", "kernel"),
+                     _conv(state[f"{src}._expand_conv.weight"]))
+                bn((dst, "expand_bn"), f"{src}._bn0")
+            _put(params, (dst, "dw_conv", "kernel"),
+                 _conv(state[f"{src}._depthwise_conv.weight"]))
+            bn((dst, "dw_bn"), f"{src}._bn1")
+            for se in ("se_reduce", "se_expand"):
+                _put(params, (dst, se, "kernel"),
+                     _conv(state[f"{src}._{se}.weight"]))
+                _put(params, (dst, se, "bias"), state[f"{src}._{se}.bias"])
+            _put(params, (dst, "project_conv", "kernel"),
+                 _conv(state[f"{src}._project_conv.weight"]))
+            bn((dst, "project_bn"), f"{src}._bn2")
+            g += 1
+    _put(params, ("head_conv", "kernel"), _conv(state["_conv_head.weight"]))
+    bn(("head_bn",), "_bn1")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_senet154(state: dict) -> dict:
+    """pretrainedmodels senet154 state_dict → flax trees matching
+    fedmlp_tpu.models.senet naming (reference: model/all_models.py:77-78).
+    last_linear is skipped (head surgery)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst, src):
+        _put(params, dst + ("scale",), state[f"{src}.weight"])
+        _put(params, dst + ("bias",), state[f"{src}.bias"])
+        _put(stats, dst + ("mean",), state[f"{src}.running_mean"])
+        _put(stats, dst + ("var",), state[f"{src}.running_var"])
+
+    for i in (1, 2, 3):
+        _put(params, (f"stem_conv{i}", "kernel"),
+             _conv(state[f"layer0.conv{i}.weight"]))
+        bn((f"stem_bn{i}",), f"layer0.bn{i}")
+    for li, blocks in enumerate((3, 8, 36, 3)):
+        for bi in range(blocks):
+            src, dst = f"layer{li + 1}.{bi}", f"layer{li + 1}_{bi}"
+            for ci in (1, 2, 3):
+                _put(params, (dst, f"conv{ci}", "kernel"),
+                     _conv(state[f"{src}.conv{ci}.weight"]))
+                bn((dst, f"bn{ci}"), f"{src}.bn{ci}")
+            for fc in ("fc1", "fc2"):
+                _put(params, (dst, "se_module", fc, "kernel"),
+                     _conv(state[f"{src}.se_module.{fc}.weight"]))
+                _put(params, (dst, "se_module", fc, "bias"),
+                     state[f"{src}.se_module.{fc}.bias"])
+            if f"{src}.downsample.0.weight" in state:
+                _put(params, (dst, "downsample_conv", "kernel"),
+                     _conv(state[f"{src}.downsample.0.weight"]))
+                bn((dst, "downsample_bn"), f"{src}.downsample.1")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert(model_name: str, state: dict) -> dict:
+    """Dispatch by model name (factory spellings accepted)."""
+    name = model_name.lower()
+    if name.startswith("resnet"):
+        return convert_resnet(state, _STAGES[name])
+    if name.startswith(("efficient_b", "efficientnet_b")):
+        return convert_efficientnet(state, "b" + name[-1])
+    if name == "senet154":
+        return convert_senet154(state)
+    raise ValueError(f"no converter for {model_name}")
+
+
 def flatten(tree, prefix=""):
     out = {}
     for k, v in tree.items():
@@ -98,8 +201,10 @@ def main():
     import torch
 
     state = torch.load(pth, map_location="cpu")
+    if "state_dict" in state:  # checkpoint wrapper
+        state = state["state_dict"]
     state = {k: v.numpy() for k, v in state.items()}
-    tree = convert_resnet(state, _STAGES[model_name.lower()])
+    tree = convert(model_name, state)
     np.savez(out, **flatten(tree))
     print(f"wrote {out} ({len(flatten(tree))} arrays)")
 
