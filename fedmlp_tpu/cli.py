@@ -108,6 +108,9 @@ def args_parser(argv=None):
                    help="fraction of non-active positives kept visible")
     p.add_argument("--data_root", type=str, default=None,
                    help="packed dataset dir (images.npy/targets.npy/meta.json)")
+    p.add_argument("--host_stream", type=int, default=0,
+                   help="stream training batches from the packed shard via "
+                        "the native loader; dataset never resident in HBM")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--exp_tag", type=str, default="")
     p.add_argument("--eval_every", type=int, default=10)
@@ -133,6 +136,10 @@ def config_from_args(a) -> Config:
         data = DataConfig(**{**data.__dict__, "root": a.data_root})
     if a.augment_backend != "gather":
         data = DataConfig(**{**data.__dict__, "augment_backend": a.augment_backend})
+    if a.host_stream:
+        if not a.data_root:
+            raise SystemExit("--host_stream requires --data_root (packed shard)")
+        data = DataConfig(**{**data.__dict__, "host_stream": True})
     if a.dataset.lower() == "synthetic":
         data = DataConfig(**{
             **data.__dict__,

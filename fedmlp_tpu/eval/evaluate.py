@@ -13,23 +13,18 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from fedmlp_tpu.eval import metrics as M
 from fedmlp_tpu.ops import losses as L
 
 
 def global_test(trainer, threshold: float = 0.5) -> dict:
-    probs = trainer.eval_probs(
-        trainer.global_vars, jnp.asarray(trainer.test_ds.images)
-    )
+    # host array in, streamed chunk-by-chunk (never fully HBM-resident)
+    probs = trainer.eval_probs(trainer.global_vars, trainer.test_ds.images)
     return M.multilabel_report(trainer.test_ds.targets, probs, threshold)
 
 
 def class_test(trainer, classid: int, threshold: float = 0.5) -> dict:
-    probs = trainer.eval_probs(
-        trainer.global_vars, jnp.asarray(trainer.test_ds.images)
-    )
+    probs = trainer.eval_probs(trainer.global_vars, trainer.test_ds.images)
     y = trainer.test_ds.targets
     preds = probs > threshold
     return {
@@ -46,7 +41,7 @@ def val_loss(trainer, frac: float = 0.1, seed: int = 0) -> float:
     rng = np.random.RandomState(seed)
     n = len(trainer.test_ds)
     sel = rng.choice(n, max(1, int(frac * n)), replace=False)
-    images = jnp.asarray(trainer.test_ds.images[sel])
+    images = np.ascontiguousarray(trainer.test_ds.images[sel])
     targets = trainer.test_ds.targets[sel]
     counts = np.maximum(trainer.test_ds.targets.sum(0), 1e-12)
     loss_w = (n / counts).astype(np.float32)

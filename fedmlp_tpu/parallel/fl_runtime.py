@@ -637,17 +637,25 @@ def make_eval_fn(model, mean, std, batch_size: int = 128):
         return feat, jax.nn.sigmoid(logits)
 
     def evaluate_probs(global_vars, images_u8):
+        """Streamed evaluation: ``images_u8`` may be a host numpy array or
+        an np.memmap of the packed test shard — only one chunk is resident
+        in HBM at a time (the full ICH test set is ~8 GB, reference scale:
+        utils/evaluations.py:15-33). Chunk k+1's host slice/transfer
+        overlaps chunk k's device compute because ``fwd`` dispatches
+        asynchronously; only the tiny [N, C] probs sync at the end."""
         n = images_u8.shape[0]
+        on_host = isinstance(images_u8, np.ndarray)
         out = []
         for s in range(0, n, batch_size):
             chunk = images_u8[s : s + batch_size]
             pad = batch_size - chunk.shape[0]
             if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                zeros = (np if on_host else jnp).zeros(
+                    (pad,) + chunk.shape[1:], chunk.dtype
                 )
+                chunk = (np if on_host else jnp).concatenate([chunk, zeros])
             _, probs = fwd(global_vars, chunk)
-            out.append(np.asarray(probs[: batch_size - pad if pad else batch_size]))
-        return np.concatenate(out, axis=0)
+            out.append(probs[: batch_size - pad if pad else batch_size])
+        return np.concatenate([np.asarray(p) for p in out], axis=0)
 
     return evaluate_probs

@@ -348,9 +348,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self) -> dict:
-        if not hasattr(self, "_test_images_dev"):
-            self._test_images_dev = jnp.asarray(self.test_ds.images)
-        probs = self.eval_probs(self.global_vars, self._test_images_dev)
+        # test images stay a host array (possibly an np.memmap of the packed
+        # shard); eval_probs streams them chunk-by-chunk so the test set is
+        # never resident in HBM (full-scale ICH test ≈ 8 GB)
+        probs = self.eval_probs(self.global_vars, self.test_ds.images)
         return multilabel_report(self.test_ds.targets, probs)
 
     def run(self, rounds: Optional[int] = None) -> list:
