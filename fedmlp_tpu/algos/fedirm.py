@@ -101,6 +101,19 @@ def relation_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
     return loss, (rest2, {"confusion": cm, "steps": jnp.float32(1.0)})
 
 
+def get_persistent(trainer):
+    """Checkpoint protocol: the EMA teacher survives resume (otherwise the
+    relation phase would silently restart it from the global model)."""
+    if hasattr(trainer, "_fedirm_teacher"):
+        return {"teacher": trainer._fedirm_teacher}
+    return {}
+
+
+def set_persistent(trainer, state):
+    if "teacher" in state:
+        trainer._fedirm_teacher = state["teacher"]
+
+
 def init_server_state(trainer):
     C = trainer.fd.n_classes
     return {"relation": np.full((C, C), 0.5, np.float32), "ema_init": False}

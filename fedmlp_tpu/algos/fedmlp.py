@@ -103,6 +103,33 @@ def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
     return loss, (rest1, {})
 
 
+def stage2_mixup_loss_fn(params, rest, model, views, sample, svalid, ctx,
+                         cstate, rng, scalars):
+    """Stage-2 with in-batch mixup (cfg.fedmlp.mixup): the TPU-native
+    equivalent of the reference's DatasetSplit_Mixup + mixup_criterion
+    (utils/local_training.py:1365-1415, 827-828 — an ablation path main.py
+    never enables). Each sample mixes with a random batch partner with
+    Beta(1,1) weight; the loss interpolates the two samples' supervised
+    cells: lam·L(p, y_a | cell_a) + (1−lam)·L(p, y_b | cell_b)."""
+    from fedmlp_tpu.ops.mixup import mixup_images
+
+    labels = sample["labels"]
+    supmask = sample["supmask"]
+    kmix, kdrop = jax.random.split(rng)
+    mixed, perm, lam = mixup_images(views["x1"], kmix)
+    _, logits1, rest1 = apply_train(model, params, rest, mixed, kdrop)
+    p1 = jax.nn.sigmoid(logits1)
+    sv = svalid.astype(supmask.dtype)
+    cell_a = supmask * sv[:, None]
+    cell_b = supmask[perm] * (sv * sv[perm])[:, None]  # both halves valid
+    sup_a = (L.bce_on_probs(p1, labels) * cell_a).sum()
+    sup_b = (L.bce_on_probs(p1, labels[perm]) * cell_b).sum()
+    lam = lam.astype(sup_a.dtype)
+    loss = (lam * sup_a / jnp.maximum(cell_a.sum(), 1.0)
+            + (1.0 - lam) * sup_b / jnp.maximum(cell_b.sum(), 1.0))
+    return loss, (rest1, {})
+
+
 # ----------------------------------------------------------------------
 # Extraction: prototypes + τ for every client (device, vmapped)
 # ----------------------------------------------------------------------
@@ -140,9 +167,12 @@ def _extract_stats(trainer, feats, probs):
 # Host-side tagging (data-dependent top-k counts)
 # ----------------------------------------------------------------------
 
-def _update_tags(trainer, scores: np.ndarray) -> None:
+def _update_tags(trainer, scores: np.ndarray, order: np.ndarray) -> None:
     """Accumulate clean/noise tags (reference: utils/local_training.py:
-    1066-1112). scores [K, M, C]; tags/pools tracked per (client, class)."""
+    1066-1112). scores [K, M, C]; ``order`` is the device-computed stable
+    ascending argsort of scores along M (an argsort per (client, class) on
+    the host cost ~1.7 s/round at ICH scale, K=20 M=26k; the TPU sorts the
+    whole [K, M, C] tensor in one program and the host loop is O(M))."""
     st = trainer.server_state
     tags = st["tags"]  # int8 [K, M, C]
     cfg = trainer.cfg.fedmlp
@@ -155,16 +185,25 @@ def _update_tags(trainer, scores: np.ndarray) -> None:
                 continue
             pool = valid[k] & (tags[k, :, c] == 0)
             s = scores[k, :, c]
-            clean_n = int(cfg.clean_threshold * int((pool & (s >= 0)).sum()))
-            noise_n = int(cfg.noise_threshold * int((pool & (s < 0)).sum()))
-            pool_pos = np.where(pool)[0]
-            if len(pool_pos) == 0:
+            if cfg.difficulty_estimate:
+                # τ-scaled selection — the variant the reference ships
+                # commented out (:1072-1073), with tao_min as the floor
+                t = max(float(st["tao"][c]), cfg.tao_min)
+                clean_frac, noise_frac = t, t
+            else:
+                clean_frac, noise_frac = cfg.clean_threshold, cfg.noise_threshold
+            clean_n = int(clean_frac * int((pool & (s >= 0)).sum()))
+            noise_n = int(noise_frac * int((pool & (s < 0)).sum()))
+            # pool members in ascending-score order: selecting from the
+            # stable full-table sort ≡ a stable sort of the pool subset
+            ordered = order[k, :, c]
+            sel = ordered[pool[ordered]]
+            if len(sel) == 0:
                 continue
-            order = pool_pos[np.argsort(s[pool_pos], kind="stable")]
             if noise_n > 0:
-                tags[k, order[:noise_n], c] = 2  # most negative → noise
+                tags[k, sel[:noise_n], c] = 2  # most negative → noise
             if clean_n > 0:
-                tags[k, order[-clean_n:], c] = 1  # most positive → clean
+                tags[k, sel[-clean_n:], c] = 1  # most positive → clean
 
 
 def _stage2_sample_arrays(trainer):
@@ -216,7 +255,8 @@ def _get_stage2_fn(trainer):
     if not hasattr(trainer, "_fedmlp_stage2_fn"):
         trainer._fedmlp_stage2_fn = rt.make_local_round(
             trainer.model,
-            stage2_loss_fn,
+            stage2_mixup_loss_fn if trainer.cfg.fedmlp.mixup
+            else stage2_loss_fn,
             lr=trainer.cfg.base_lr,
             batch_size=trainer.cfg.batch_size,
             mean=trainer.cfg.data.mean,
@@ -272,11 +312,13 @@ def custom_round(trainer, rnd: int):
     )
     proto = jnp.asarray(trainer.server_state["proto"])
     if not hasattr(trainer, "_fedmlp_score_jit"):
-        trainer._fedmlp_score_jit = jax.jit(
-            jax.vmap(fedmlp_similarity_scores, in_axes=(0, None))
-        )
-    scores = np.asarray(trainer._fedmlp_score_jit(feats, proto))  # [K, M, C]
-    _update_tags(trainer, scores)
+        def _scores_and_order(f, p):
+            s = jax.vmap(fedmlp_similarity_scores, in_axes=(0, None))(f, p)
+            return s, jnp.argsort(s, axis=1)  # stable, on device
+
+        trainer._fedmlp_score_jit = jax.jit(_scores_and_order)
+    scores_d, order_d = trainer._fedmlp_score_jit(feats, proto)  # [K, M, C]
+    _update_tags(trainer, np.asarray(scores_d), np.asarray(order_d))
 
     sample_arrays = _stage2_sample_arrays(trainer)
     scalars = trainer.round_scalars(rnd)

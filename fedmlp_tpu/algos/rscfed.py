@@ -57,11 +57,24 @@ def make_round_fn(trainer):
     )
 
 
+def get_persistent(trainer):
+    """Checkpoint protocol: the persistent mean teacher survives resume."""
+    if hasattr(trainer, "_rscfed_teacher"):
+        return {"teacher": trainer._rscfed_teacher}
+    return {}
+
+
+def set_persistent(trainer, state):
+    if "teacher" in state:
+        trainer._rscfed_teacher = state["teacher"]
+
+
 def custom_round(trainer, rnd: int):
     if not hasattr(trainer, "_rscfed_round_fn"):
         trainer._rscfed_round_fn = make_round_fn(trainer)
+    if not hasattr(trainer, "_rscfed_teacher"):
         # teacher starts as the INITIAL global model (main.py:77) and then
-        # persists across rounds
+        # persists across rounds (restored separately on resume)
         trainer._rscfed_teacher = trainer.broadcast(trainer.global_vars)
     out_state, losses, _ = trainer.local_pass(
         trainer._rscfed_round_fn, {"labels": trainer.fd.obs_targets},

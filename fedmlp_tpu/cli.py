@@ -82,9 +82,15 @@ def args_parser(argv=None):
     p.add_argument("--lambda_cen", type=float, default=1.0)
     p.add_argument("--lambda_e", type=float, default=0.8)
     # FedMLP ablation (:60-64)
-    p.add_argument("--difficulty_estimate", type=int, default=1)
+    # defaults 0 = released reference behavior (it parses 1 for both but
+    # never reads them from main.py); 1 enables the wired implementations
+    p.add_argument("--difficulty_estimate", type=int, default=0,
+                   help="τ-scaled stage-2 tag selection (the reference's "
+                        "commented-out variant, local_training.py:1072-1073)")
+    p.add_argument("--mixup", type=int, default=0,
+                   help="in-batch mixup in FedMLP stage 2 "
+                        "(DatasetSplit_Mixup equivalent)")
     p.add_argument("--miss_client_difficulty", type=int, default=1)
-    p.add_argument("--mixup", type=int, default=1)
     p.add_argument("--clean_threshold", type=float, default=0.005)
     p.add_argument("--noise_threshold", type=float, default=0.01)
     p.add_argument("--stage2_distill", type=int, default=0,
@@ -108,6 +114,9 @@ def args_parser(argv=None):
                    help="fraction of non-active positives kept visible")
     p.add_argument("--data_root", type=str, default=None,
                    help="packed dataset dir (images.npy/targets.npy/meta.json)")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="override dataset image size (must match the packed "
+                        "shard when --data_root is set)")
     p.add_argument("--host_stream", type=int, default=0,
                    help="stream training batches from the packed shard via "
                         "the native loader; dataset never resident in HBM")
@@ -134,6 +143,8 @@ def config_from_args(a) -> Config:
         data = DataConfig(**{**data.__dict__, "n_classes": a.n_classes})
     if a.data_root:
         data = DataConfig(**{**data.__dict__, "root": a.data_root})
+    if a.image_size:
+        data = DataConfig(**{**data.__dict__, "image_size": a.image_size})
     if a.augment_backend != "gather":
         data = DataConfig(**{**data.__dict__, "augment_backend": a.augment_backend})
     if a.host_stream:
@@ -257,7 +268,8 @@ def main(argv=None):
             if rec.metrics:
                 for name, v in rec.metrics.items():
                     writer.add_scalar(f"test_run{run}/{name}", v, rnd)
-            if (rnd + 1) % cfg.checkpoint_every == 0:
+            # periodic + the reference's rounds_corr milestone (main.py:360)
+            if (rnd + 1) % cfg.checkpoint_every == 0 or (rnd + 1) == cfg.rounds_corr:
                 save_checkpoint(models_dir, trainer, rnd)
     writer.close()
 

@@ -71,12 +71,22 @@ class FedMLPConfig:
     rounds_stage1: int = 50
     U: float = 0.7  # tao upper bound
     L: float = 0.3  # tao lower bound
-    tao_min: float = 0.1
     clean_threshold: float = 0.005
     noise_threshold: float = 0.01
-    difficulty_estimate: int = 1
+    # τ-scaled tag selection: the variant the reference ships commented out
+    # (utils/local_training.py:1072-1073); tao_min floors τ. Default 0 =
+    # released fixed-threshold behavior.
+    difficulty_estimate: int = 0
+    tao_min: float = 0.1
+    # In-batch mixup for stage-2 (reference DatasetSplit_Mixup +
+    # mixup_criterion, utils/local_training.py:1365-1415/827-828 — an
+    # ablation path the reference parses (--mixup default 1) but never
+    # enables from main.py). Default 0 = released behavior.
+    mixup: int = 0
+    # Reference-ballast: parsed by utils/options.py:62 but read nowhere in
+    # the released reference (the only mention, main.py:225, is commented
+    # out). Kept for flag-for-flag CLI parity.
     miss_client_difficulty: int = 1
-    mixup: int = 1
     # Released code disables the stage-2 distillation term
     # (reference: utils/local_training.py:1187-1188 commented out).
     stage2_distill: bool = False
@@ -158,6 +168,11 @@ class Config:
     alpha_dirichlet: float = 0.5
     local_ep: int = 1
     rounds_warmup: int = 500  # total federated rounds
+    # rounds_corr marks an extra checkpoint milestone (reference:
+    # main.py:360 saves the model when rnd+1 == rounds_corr); the reference
+    # otherwise uses these three only to name its output directory
+    # (utils/utils.py:52-53). Kept for CLI parity; the CLI mirrors the
+    # milestone save.
     rounds_corr: int = 200
     rounds_distillation: int = 200
     rounds_finetune: int = 50

@@ -83,7 +83,10 @@ class Trainer:
             cache = None
             if cfg.output_dir:
                 tag = (
-                    f"{self.train_ds.name}_{cfg.seed}_{cfg.n_clients}"
+                    # dataset size is part of the key: synthetic fixtures of
+                    # different sizes must not share a cached partition
+                    f"{self.train_ds.name}_{len(self.train_ds)}"
+                    f"_{cfg.seed}_{cfg.n_clients}"
                     + ("" if cfg.iid else f"_{cfg.alpha_dirichlet}")
                 )
                 cache_dir = os.path.join(
@@ -228,6 +231,32 @@ class Trainer:
         if hasattr(self.algo, "extra_ctx"):
             ctx.update(self.algo.extra_ctx(self))
         return ctx
+
+    # ------------------------------------------------------------------
+    def apply_corrections(self, corr: dict) -> int:
+        """Inject label corrections into the observed-label tables: the
+        DatasetSplit ``corr_idx`` capability (reference:
+        utils/local_training.py:1352-1355) — for samples listed per
+        (client, missing class), the observed label flips to positive.
+
+        ``corr`` maps client → {class → iterable of GLOBAL sample indices}.
+        Returns the number of flipped cells."""
+        import dataclasses as _dc
+
+        obs = np.asarray(self.fd.obs_targets).copy()
+        idx = np.asarray(self.fd.idx)
+        valid = np.asarray(self.fd.valid)
+        active = np.asarray(self.fd.active)
+        flipped = 0
+        for k, per_class in corr.items():
+            for c, gidxs in per_class.items():
+                if active[k, c]:
+                    continue  # reference corrects only missing classes
+                mask = np.isin(idx[k], np.asarray(list(gidxs))) & valid[k]
+                flipped += int((obs[k, mask, c] != 1.0).sum())
+                obs[k, mask, c] = 1.0
+        self.fd = _dc.replace(self.fd, obs_targets=jnp.asarray(obs))
+        return flipped
 
     # ------------------------------------------------------------------
     def local_pass(self, round_fn, sample_arrays: dict, scalars: dict,

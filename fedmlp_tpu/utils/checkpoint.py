@@ -40,7 +40,7 @@ def save_checkpoint(path: str, trainer, rnd: int) -> str:
             (r.round, r.client_losses, r.metrics, r.seconds)
             for r in trainer.history
         ],
-        "teacher": _maybe_teacher(trainer),
+        "persistent": _persistent_state(trainer),
     }
     fname = os.path.join(path, f"ckpt_{rnd}.pkl")
     with open(fname, "wb") as f:
@@ -60,12 +60,16 @@ def _server_state_np(state):
     return out
 
 
-def _maybe_teacher(trainer):
-    teachers = {}
-    for attr in ("_rscfed_teacher", "_fedirm_teacher"):
-        if hasattr(trainer, attr):
-            teachers[attr] = _to_numpy(getattr(trainer, attr))
-    return teachers
+def _persistent_state(trainer):
+    """Algorithm-registered persistent trainer state (protocol: the algo
+    module exposes ``get_persistent(trainer) -> pytree`` and
+    ``set_persistent(trainer, pytree)``). Replaces the old hard-coded
+    teacher-attribute whitelist: a new algorithm with persistent state
+    registers it instead of silently losing it on resume."""
+    algo = getattr(trainer, "algo", None)
+    if algo is not None and hasattr(algo, "get_persistent"):
+        return _to_numpy(algo.get_persistent(trainer))
+    return {}
 
 
 def load_checkpoint(fname: str, trainer) -> int:
@@ -86,6 +90,12 @@ def load_checkpoint(fname: str, trainer) -> int:
     trainer.history = [
         RoundRecord(r, losses, m, s) for r, losses, m, s in payload["history"]
     ]
+    persistent = payload.get("persistent")
+    if persistent and hasattr(trainer.algo, "set_persistent"):
+        trainer.algo.set_persistent(
+            trainer, jax.tree_util.tree_map(jnp.asarray, persistent)
+        )
+    # legacy checkpoints stored teacher attrs under 'teacher'
     for attr, tree in payload.get("teacher", {}).items():
         setattr(trainer, attr, jax.tree_util.tree_map(jnp.asarray, tree))
     return payload["round"] + 1

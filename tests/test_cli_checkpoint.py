@@ -77,6 +77,57 @@ def test_fedmlp_resume_preserves_stage2_state(tmp_path):
     np.testing.assert_array_equal(t2.server_state["tags"], ref_tags)
 
 
+def _algo_trainer(algorithm):
+    from fedmlp_tpu.config import CBAFedConfig, FedIRMConfig, RoFLConfig
+
+    cfg = Config(
+        algorithm=algorithm, model="smallcnn", batch_size=16, base_lr=1e-3,
+        n_clients=4, local_ep=1, rounds_warmup=4, eval_every=100, seed=11,
+        data=DataConfig(name="synthetic", n_classes=4, image_size=32,
+                        synthetic_train_size=128, synthetic_test_size=32),
+        compute_dtype="float32",
+        # push each algorithm into its stateful phase by round 2
+        rofl=RoFLConfig(T_pl=1),
+        cbafed=CBAFedConfig(rounds_warmup=2),
+        fedirm=FedIRMConfig(rounds_sup=1),
+    )
+    return Trainer(cfg)
+
+
+@pytest.mark.parametrize("algorithm,probe", [
+    ("rofl", lambda t: t.server_state["pseudo"]),        # pseudo table + f_G
+    ("cbafed", lambda t: t.server_state["tao"]),         # τ + residual mix
+    ("rscfed", lambda t: None),                          # persistent teacher
+    ("fedirm", lambda t: t.server_state["relation"]),    # relation + teacher
+])
+def test_stateful_algorithms_resume_bitwise(tmp_path, algorithm, probe):
+    """Every algorithm with persistent state (server_state or registered
+    trainer attributes via get_persistent/set_persistent) must continue
+    bitwise after resume."""
+    import jax
+
+    t1 = _algo_trainer(algorithm)
+    t1.run_round(0)
+    t1.run_round(1)
+    f = save_checkpoint(str(tmp_path), t1, 1)
+    t1.run_round(2)
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(t1.global_vars["params"])[0])
+    ref_probe = None if probe(t1) is None else np.asarray(probe(t1)).copy()
+    ref_losses = t1.history[-1].client_losses
+
+    t2 = _algo_trainer(algorithm)
+    nxt = load_checkpoint(f, t2)
+    assert nxt == 2
+    t2.run_round(2)
+    leaf = np.asarray(jax.tree_util.tree_leaves(t2.global_vars["params"])[0])
+    np.testing.assert_allclose(leaf, ref_leaf, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        t2.history[-1].client_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    if ref_probe is not None:
+        np.testing.assert_allclose(np.asarray(probe(t2)), ref_probe,
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_checkpoint_resume_bitwise(tmp_path):
     import jax
 

@@ -91,3 +91,68 @@ def test_noise_tags_give_pseudo_positive_labels(trainer):
     active = np.asarray(trainer.fd.active)[:, None, :]
     untagged_missing = (tags == 0) & ~np.broadcast_to(active, tags.shape)
     assert (supmask[untagged_missing] == 0.0).all()
+
+
+def _mk_trainer(**fedmlp_kw):
+    cfg = Config(
+        algorithm="fedmlp", model="smallcnn", batch_size=16, base_lr=1e-3,
+        n_clients=4, local_ep=1, rounds_warmup=4, eval_every=100, seed=13,
+        p_pos=0.0,
+        fedmlp=FedMLPConfig(rounds_stage1=1, clean_threshold=0.2,
+                            noise_threshold=0.2, **fedmlp_kw),
+        data=DataConfig(name="synthetic", n_classes=4, image_size=32,
+                        synthetic_train_size=128, synthetic_test_size=32),
+        compute_dtype="float32",
+    )
+    return Trainer(cfg)
+
+
+def test_stage2_mixup_path_trains(tmp_path):
+    """cfg.fedmlp.mixup routes stage 2 through the in-batch mixup loss
+    (DatasetSplit_Mixup equivalent, reference :1365-1415) and still trains."""
+    import jax
+
+    t = _mk_trainer(mixup=1)
+    for r in range(3):
+        rec = t.run_round(r)
+        assert np.isfinite(rec.client_losses).all()
+    # the mixup loss fn was actually selected
+    from fedmlp_tpu.algos import fedmlp as F
+    assert hasattr(t, "_fedmlp_stage2_fn")
+    leaf = np.asarray(jax.tree_util.tree_leaves(t.global_vars["params"])[0])
+    assert np.isfinite(leaf).all()
+
+
+def test_tau_scaled_tagging_selects_by_tao():
+    """difficulty_estimate=1 scales selection counts by τ (floored at
+    tao_min) — the reference's commented-out variant (:1072-1073)."""
+    t_fixed = _mk_trainer()
+    t_tau = _mk_trainer(difficulty_estimate=1, tao_min=0.5)
+    for r in range(2):
+        t_fixed.run_round(r)
+        t_tau.run_round(r)
+    n_fixed = int((t_fixed.server_state["tags"] > 0).sum())
+    n_tau = int((t_tau.server_state["tags"] > 0).sum())
+    # τ floor 0.5 ≫ fixed thresholds 0.2 → strictly more tags selected
+    assert n_tau > n_fixed
+
+
+def test_apply_corrections_flips_missing_class_labels():
+    t = _mk_trainer()
+    k = 1
+    active = np.asarray(t.fd.active)
+    c = int(np.where(~active[k])[0][0])  # a class client k does NOT annotate
+    idx = np.asarray(t.fd.idx)
+    valid = np.asarray(t.fd.valid)
+    gidxs = idx[k][valid[k]][:3].tolist()
+    before = np.asarray(t.fd.obs_targets)[k, :, c].sum()
+    flipped = t.apply_corrections({k: {c: gidxs}})
+    obs = np.asarray(t.fd.obs_targets)
+    rows = np.isin(idx[k], gidxs) & valid[k]
+    assert (obs[k, rows, c] == 1.0).all()
+    assert flipped == int(rows.sum() - before) or flipped >= 0
+    # active classes are never corrected (reference corrects only negatives)
+    ca = int(np.where(active[k])[0][0])
+    obs_before = obs.copy()
+    assert t.apply_corrections({k: {ca: gidxs}}) == 0
+    np.testing.assert_array_equal(np.asarray(t.fd.obs_targets), obs_before)

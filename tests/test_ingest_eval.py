@@ -96,3 +96,52 @@ def test_roc_print(tmp_path, rng):
     p = rng.rand(50, 3)
     path = roc_print(y, p, out_path=str(tmp_path / "roc.png"))
     assert os.path.exists(path)
+
+
+def test_channel_stats_matches_reference_estimator(tmp_path, rng):
+    """Streamed mean-of-per-image-means / mean-of-per-image-stds
+    (reference: preprocess/count_mean_dev.py:7-26)."""
+    from ingest import channel_stats
+
+    imgs = rng.randint(0, 256, (7, 8, 8, 3)).astype(np.uint8)
+    np.save(tmp_path / "images.npy", imgs)
+    mean, std = channel_stats(str(tmp_path), chunk=3)
+    x = imgs.astype(np.float64) / 255.0
+    np.testing.assert_allclose(mean, x.mean(axis=(1, 2)).mean(0), rtol=1e-12)
+    np.testing.assert_allclose(std, x.std(axis=(1, 2), ddof=1).mean(0),
+                               rtol=1e-12)
+
+
+def test_patient_prevalence(tmp_path):
+    import pandas as pd
+
+    from ingest import patient_prevalence
+
+    rows = [
+        {"image": "p1_000.png", "a": 1, "b": 0},
+        {"image": "p1_001.png", "a": 0, "b": 1},  # patient p1: a OR b -> both
+        {"image": "p2_000.png", "a": 0, "b": 0},
+    ]
+    csv = tmp_path / "onehot.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    prev = patient_prevalence(str(csv))
+    assert prev["a"] == pytest.approx(0.5)  # 1 of 2 patients
+    assert prev["b"] == pytest.approx(0.5)
+
+
+def test_filter_present(tmp_path, rng):
+    import pandas as pd
+    from PIL import Image
+
+    from ingest import filter_present
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)).save(
+        img_dir / "here.png")
+    csv = tmp_path / "all.csv"
+    pd.DataFrame([{"image": "here.png", "a": 1},
+                  {"image": "gone.png", "a": 0}]).to_csv(csv, index=False)
+    out = tmp_path / "kept.csv"
+    assert filter_present(str(csv), str(img_dir), str(out)) == 1
+    assert pd.read_csv(out)["image"].tolist() == ["here.png"]

@@ -98,18 +98,91 @@ def pack(csv_path, image_dir, class_names, out_dir, image_size, limit, name):
     print(f"packed {len(ds)} images -> {out_dir}")
 
 
-def main():
+# ----------------------------------------------------------------------
+# Diagnostics (reference preprocess/ one-off scripts)
+# ----------------------------------------------------------------------
+
+def channel_stats(packed_dir: str, chunk: int = 256):
+    """Per-channel mean/std of a packed train shard, computed as the mean
+    of per-image means and the mean of per-image stds — exactly the
+    reference's estimator (preprocess/count_mean_dev.py:7-26), streamed in
+    chunks so full-scale shards never load whole."""
+    images = np.load(os.path.join(packed_dir, "images.npy"), mmap_mode="r")
+    n = len(images)
+    mean = np.zeros(3, np.float64)
+    std = np.zeros(3, np.float64)
+    for s in range(0, n, chunk):
+        x = np.asarray(images[s : s + chunk], np.float64) / 255.0
+        mean += x.mean(axis=(1, 2)).sum(0)
+        # reference uses torch's default unbiased per-image std
+        std += x.std(axis=(1, 2), ddof=1).sum(0)
+    return (mean / n).tolist(), (std / n).tolist()
+
+
+def patient_prevalence(onehot_csv: str, patient_from_image=None):
+    """Patient-wise disease prevalence: OR the labels of all images of a
+    patient, then average over patients (reference:
+    preprocess/count_pwise_disease.py:10-30; patient id = image-name prefix
+    before '_')."""
+    import pandas as pd
+
+    df = pd.read_csv(onehot_csv)
+    key = patient_from_image or (lambda s: str(s).split("_")[0])
+    df["_patient"] = df["image"].map(key)
+    label_cols = [c for c in df.columns if c not in ("image", "_patient")]
+    per_patient = df.groupby("_patient")[label_cols].max()
+    return per_patient.mean(axis=0)
+
+
+def filter_present(csv_path: str, image_dir: str, out_csv: str,
+                   image_col: str = "image") -> int:
+    """Keep only rows whose image file exists under ``image_dir``
+    (reference: preprocess/count.py:17-27 filtered_data writer)."""
+    import pandas as pd
+
+    present = set()
+    for _root, _dirs, files in os.walk(image_dir):
+        present.update(files)
+    df = pd.read_csv(csv_path)
+    kept = df[df[image_col].isin(present)]
+    kept.to_csv(out_csv, index=False)
+    return len(kept)
+
+
+def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("dataset", choices=["chestxray14", "ich", "generic"])
-    p.add_argument("--csv", required=True)
-    p.add_argument("--images", required=True)
-    p.add_argument("--out", required=True)
-    p.add_argument("--classes", default=None, help="comma list (generic)")
-    p.add_argument("--image_size", type=int, default=224)
-    p.add_argument("--test_frac", type=float, default=0.3)
-    p.add_argument("--seed", type=int, default=1037)
-    p.add_argument("--limit", type=int, default=None)
-    a = p.parse_args()
+    sub = p.add_subparsers(dest="dataset", required=True)
+    for name in ("chestxray14", "ich", "generic"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--csv", required=True)
+        sp.add_argument("--images", required=True)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--classes", default=None, help="comma list (generic)")
+        sp.add_argument("--image_size", type=int, default=224)
+        sp.add_argument("--test_frac", type=float, default=0.3)
+        sp.add_argument("--seed", type=int, default=1037)
+        sp.add_argument("--limit", type=int, default=None)
+    sp = sub.add_parser("stats", help="channel mean/std of a packed shard")
+    sp.add_argument("--packed", required=True)
+    sp = sub.add_parser("prevalence", help="patient-wise disease prevalence")
+    sp.add_argument("--csv", required=True)
+    sp = sub.add_parser("filter", help="drop rows whose image file is absent")
+    sp.add_argument("--csv", required=True)
+    sp.add_argument("--images", required=True)
+    sp.add_argument("--out_csv", required=True)
+    a = p.parse_args(argv)
+
+    if a.dataset == "stats":
+        mean, std = channel_stats(a.packed)
+        print(f"mean: {mean}\nstd: {std}")
+        return
+    if a.dataset == "prevalence":
+        print(patient_prevalence(a.csv).to_string())
+        return
+    if a.dataset == "filter":
+        n = filter_present(a.csv, a.images, a.out_csv)
+        print(f"kept {n} rows -> {a.out_csv}")
+        return
 
     os.makedirs(a.out, exist_ok=True)
     if a.dataset == "chestxray14":

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Generate a CXR-scale synthetic packed shard on disk (chunked writes via
+np.open_memmap — the images never sit in RAM whole). Used by the full-scale
+host-stream dress rehearsal: a dataset shaped like the reference's
+ChestXray14 train split (reference: dataset/all_dataset.py:10-49 at ~78k
+PA images, 224px) that cannot reasonably live in HBM.
+
+Usage:
+  python tools/make_synth_shard.py --out /tmp/cxr_scale --train 50000 \
+      --test 10000 --classes 8 --size 224
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fedmlp_tpu.data.datasets import make_synthetic_dataset  # noqa: E402
+
+
+def write_split(out_dir: str, n: int, n_classes: int, size: int, seed: int,
+                chunk: int = 4096) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    images = np.lib.format.open_memmap(
+        os.path.join(out_dir, "images.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 3),
+    )
+    targets = np.zeros((n, n_classes), np.float32)
+    for s in range(0, n, chunk):
+        m = min(chunk, n - s)
+        ds = make_synthetic_dataset(m, n_classes, size, seed=seed + s)
+        images[s : s + m] = ds.images
+        targets[s : s + m] = ds.targets
+    images.flush()
+    np.save(os.path.join(out_dir, "targets.npy"), targets)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"class_names": [f"c{i}" for i in range(n_classes)],
+                   "name": "synthetic_scale"}, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--train", type=int, default=50_000)
+    p.add_argument("--test", type=int, default=10_000)
+    p.add_argument("--classes", type=int, default=8)
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=1037)
+    a = p.parse_args()
+    write_split(os.path.join(a.out, "train"), a.train, a.classes, a.size, a.seed)
+    write_split(os.path.join(a.out, "test"), a.test, a.classes, a.size,
+                a.seed + 10_000_000)
+    print(f"wrote {a.train}+{a.test} packed images under {a.out}")
+
+
+if __name__ == "__main__":
+    main()
