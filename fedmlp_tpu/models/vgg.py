@@ -52,11 +52,15 @@ class VGG(nn.Module):
                 x, (max(1, x.shape[1] // 7),) * 2, (max(1, x.shape[1] // 7),) * 2
             )
         x = x.reshape(x.shape[0], -1)
+        # dropout active in train when the engine threads a 'dropout' rng
+        # (torchvision classifier = Linear/ReLU/Dropout ×2 then the head)
+        det = not (train and self.has_rng("dropout"))
         x = nn.Dense(4096, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=True)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=det)(x)
         x = nn.Dense(4096, dtype=self.dtype, name="fc2")(x)
         x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=det)(x)
         feature = x.astype(jnp.float32)
         head = (FCNormHead if self.normed_head else LinearHead)(
             self.num_classes, name="head"

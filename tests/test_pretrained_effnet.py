@@ -198,3 +198,131 @@ def test_senet154_converter_covers_all_backbone_keys(tmp_path, rng):
         n = n.replace("head_fc", "last_linear")
         st[n] = p.detach().numpy()
     _roundtrip("senet154", st, tmp_path, 64)
+
+
+# ---- VGG11 ----
+
+_VGG11_CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
+
+
+def fake_torchvision_vgg11_state(rng):
+    st = {}
+    seq, cin = 0, 3
+    for v in _VGG11_CFG:
+        if v == "M":
+            seq += 1
+            continue
+        st[f"features.{seq}.weight"] = (
+            (rng.rand(v, cin, 3, 3).astype(np.float32) - 0.5) * 0.05)
+        st[f"features.{seq}.bias"] = (
+            (rng.rand(v).astype(np.float32) - 0.5) * 0.05)
+        seq += 2
+        cin = v
+    st["classifier.0.weight"] = (
+        (rng.rand(4096, 512 * 7 * 7).astype(np.float32) - 0.5) * 0.01)
+    st["classifier.0.bias"] = (rng.rand(4096).astype(np.float32) - 0.5) * 0.01
+    st["classifier.3.weight"] = (
+        (rng.rand(4096, 4096).astype(np.float32) - 0.5) * 0.01)
+    st["classifier.3.bias"] = (rng.rand(4096).astype(np.float32) - 0.5) * 0.01
+    st["classifier.6.weight"] = rng.rand(1000, 4096).astype(np.float32)
+    st["classifier.6.bias"] = rng.rand(1000).astype(np.float32)
+    return st
+
+
+def torch_vgg11_forward(st, x_nchw):
+    y = x_nchw
+    seq = 0
+    for v in _VGG11_CFG:
+        if v == "M":
+            y = F.max_pool2d(y, 2, 2)
+            seq += 1
+        else:
+            y = torch.relu(F.conv2d(y, _t(st[f"features.{seq}.weight"]),
+                                    _t(st[f"features.{seq}.bias"]), padding=1))
+            seq += 2
+    y = torch.flatten(y, 1)
+    y = torch.relu(F.linear(y, _t(st["classifier.0.weight"]),
+                            _t(st["classifier.0.bias"])))
+    y = torch.relu(F.linear(y, _t(st["classifier.3.weight"]),
+                            _t(st["classifier.3.bias"])))
+    return y
+
+
+def test_vgg11_convert_load_and_forward_agreement(tmp_path, rng):
+    st = fake_torchvision_vgg11_state(rng)
+    model, merged, _ = _roundtrip("vgg11", st, tmp_path, 224)
+    x = rng.rand(1, 224, 224, 3).astype(np.float32)
+    feat, _ = model.apply(merged, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = torch_vgg11_forward(st, _t(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(feat), ref, atol=2e-3, rtol=2e-3)
+
+
+# ---- DenseNet121 ----
+
+_D121_BLOCKS = (6, 12, 24, 16)
+
+
+def fake_torchvision_densenet121_state(rng):
+    st = {}
+
+    def w(key, *shape):
+        st[key] = (rng.rand(*shape).astype(np.float32) - 0.5) * 0.1
+
+    def bn(prefix, ch):
+        st[f"{prefix}.weight"] = rng.rand(ch).astype(np.float32) + 0.5
+        st[f"{prefix}.bias"] = (rng.rand(ch).astype(np.float32) - 0.5) * 0.1
+        st[f"{prefix}.running_mean"] = (rng.rand(ch).astype(np.float32) - 0.5) * 0.1
+        st[f"{prefix}.running_var"] = rng.rand(ch).astype(np.float32) + 0.5
+
+    w("features.conv0.weight", 64, 3, 7, 7)
+    bn("features.norm0", 64)
+    ch = 64
+    for bi, n_layers in enumerate(_D121_BLOCKS):
+        for li in range(n_layers):
+            p = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+            bn(f"{p}.norm1", ch)
+            w(f"{p}.conv1.weight", 128, ch, 1, 1)
+            bn(f"{p}.norm2", 128)
+            w(f"{p}.conv2.weight", 32, 128, 3, 3)
+            ch += 32
+        if bi != len(_D121_BLOCKS) - 1:
+            p = f"features.transition{bi + 1}"
+            bn(f"{p}.norm", ch)
+            w(f"{p}.conv.weight", ch // 2, ch, 1, 1)
+            ch //= 2
+    bn("features.norm5", ch)
+    w("classifier.weight", 1000, ch)
+    w("classifier.bias", 1000)
+    return st
+
+
+def torch_densenet121_forward(st, x_nchw):
+    y = F.conv2d(x_nchw, _t(st["features.conv0.weight"]), stride=2, padding=3)
+    y = torch.relu(_bn(y, st, "features.norm0", 1e-5))
+    y = F.max_pool2d(y, 3, stride=2, padding=1)
+    for bi, n_layers in enumerate(_D121_BLOCKS):
+        for li in range(n_layers):
+            p = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+            h = torch.relu(_bn(y, st, f"{p}.norm1", 1e-5))
+            h = F.conv2d(h, _t(st[f"{p}.conv1.weight"]))
+            h = torch.relu(_bn(h, st, f"{p}.norm2", 1e-5))
+            h = F.conv2d(h, _t(st[f"{p}.conv2.weight"]), padding=1)
+            y = torch.cat([y, h], dim=1)
+        if bi != len(_D121_BLOCKS) - 1:
+            p = f"features.transition{bi + 1}"
+            y = torch.relu(_bn(y, st, f"{p}.norm", 1e-5))
+            y = F.conv2d(y, _t(st[f"{p}.conv.weight"]))
+            y = F.avg_pool2d(y, 2, 2)
+    y = torch.relu(_bn(y, st, "features.norm5", 1e-5))
+    return y.mean(dim=(2, 3))
+
+
+def test_densenet121_convert_load_and_forward_agreement(tmp_path, rng):
+    st = fake_torchvision_densenet121_state(rng)
+    model, merged, _ = _roundtrip("dense121", st, tmp_path, 64)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    feat, _ = model.apply(merged, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = torch_densenet121_forward(st, _t(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(feat), ref, atol=2e-3, rtol=2e-3)

@@ -173,6 +173,71 @@ def convert_senet154(state: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_vgg(state: dict, variant: str) -> dict:
+    """torchvision VGG (no-BN) state_dict → flax trees matching
+    fedmlp_tpu.models.vgg naming (reference: model/all_models.py:45-52).
+    classifier.6 is skipped (head surgery); classifier.0's weight is
+    re-laid-out from torch's channel-major flatten (C,7,7) to NHWC's
+    (7,7,C)."""
+    from fedmlp_tpu.models.vgg import _CFGS
+
+    params: dict = {}
+    seq = 0  # torchvision Sequential index: conv+relu = 2 slots, pool = 1
+    ci = 0
+    for v in _CFGS[variant]:
+        if v == "M":
+            seq += 1
+            continue
+        _put(params, (f"conv{ci}", "kernel"),
+             _conv(state[f"features.{seq}.weight"]))
+        _put(params, (f"conv{ci}", "bias"), state[f"features.{seq}.bias"])
+        seq += 2
+        ci += 1
+    w0 = np.asarray(state["classifier.0.weight"])  # [4096, 512*7*7] CHW-major
+    w0 = w0.reshape(4096, 512, 7, 7).transpose(2, 3, 1, 0).reshape(-1, 4096)
+    _put(params, ("fc1", "kernel"), w0)
+    _put(params, ("fc1", "bias"), state["classifier.0.bias"])
+    _put(params, ("fc2", "kernel"), np.asarray(state["classifier.3.weight"]).T)
+    _put(params, ("fc2", "bias"), state["classifier.3.bias"])
+    return {"params": params}
+
+
+def convert_densenet(state: dict, variant: str) -> dict:
+    """torchvision DenseNet state_dict → flax trees matching
+    fedmlp_tpu.models.densenet naming (reference: model/all_models.py:63-70).
+    classifier is skipped (head surgery)."""
+    from fedmlp_tpu.models.densenet import _CFGS
+
+    _growth, blocks, _stem = _CFGS[variant]
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst, src):
+        _put(params, dst + ("scale",), state[f"{src}.weight"])
+        _put(params, dst + ("bias",), state[f"{src}.bias"])
+        _put(stats, dst + ("mean",), state[f"{src}.running_mean"])
+        _put(stats, dst + ("var",), state[f"{src}.running_var"])
+
+    _put(params, ("stem_conv", "kernel"), _conv(state["features.conv0.weight"]))
+    bn(("stem_bn",), "features.norm0")
+    for bi, n_layers in enumerate(blocks):
+        for li in range(n_layers):
+            src = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+            dst = f"block{bi}_layer{li}"
+            bn((dst, "bn1"), f"{src}.norm1")
+            _put(params, (dst, "conv1", "kernel"),
+                 _conv(state[f"{src}.conv1.weight"]))
+            bn((dst, "bn2"), f"{src}.norm2")
+            _put(params, (dst, "conv2", "kernel"),
+                 _conv(state[f"{src}.conv2.weight"]))
+        if bi != len(blocks) - 1:
+            bn((f"trans{bi}_bn",), f"features.transition{bi + 1}.norm")
+            _put(params, (f"trans{bi}_conv", "kernel"),
+                 _conv(state[f"features.transition{bi + 1}.conv.weight"]))
+    bn(("final_bn",), "features.norm5")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert(model_name: str, state: dict) -> dict:
     """Dispatch by model name (factory spellings accepted)."""
     name = model_name.lower()
@@ -182,6 +247,10 @@ def convert(model_name: str, state: dict) -> dict:
         return convert_efficientnet(state, "b" + name[-1])
     if name == "senet154":
         return convert_senet154(state)
+    if name.startswith("vgg"):
+        return convert_vgg(state, name)
+    if name.startswith(("dense", "densenet")):
+        return convert_densenet(state, "densenet" + name.lstrip("densenet"))
     raise ValueError(f"no converter for {model_name}")
 
 
