@@ -126,8 +126,8 @@ def args_parser(argv=None):
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--resume", type=str, default=None)
-    p.add_argument("--augment_backend", type=str, default="gather",
-                   choices=["gather", "paeth", "pallas"])
+    p.add_argument("--augment_backend", type=str, default="auto",
+                   choices=["auto", "gather", "paeth", "pallas"])
     p.add_argument("--synthetic_train_size", type=int, default=512)
     p.add_argument("--synthetic_test_size", type=int, default=128)
     return p.parse_args(argv)
@@ -145,7 +145,7 @@ def config_from_args(a) -> Config:
         data = DataConfig(**{**data.__dict__, "root": a.data_root})
     if a.image_size:
         data = DataConfig(**{**data.__dict__, "image_size": a.image_size})
-    if a.augment_backend != "gather":
+    if a.augment_backend != "auto":
         data = DataConfig(**{**data.__dict__, "augment_backend": a.augment_backend})
     if a.host_stream:
         if not a.data_root:

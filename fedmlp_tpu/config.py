@@ -55,9 +55,11 @@ class DataConfig:
     synthetic_test_size: int = 128
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
-    # weak-view warp backend: 'gather' (single-pass bilinear, XLA gathers),
-    # 'paeth' (3-shear take_along_axis), 'pallas' (3-shear roll kernel)
-    augment_backend: str = "gather"
+    # weak-view warp backend: 'auto' (pallas on TPU, gather elsewhere),
+    # 'gather' (single-pass bilinear, XLA gathers), 'paeth' (3-shear
+    # take_along_axis), 'pallas' (3-shear roll kernel). On TPU the gather
+    # warp dominates the round program (~5x throughput difference).
+    augment_backend: str = "auto"
     # stream image batches from the packed .npy on disk via the native
     # threaded loader instead of keeping the dataset resident in HBM
     # (for datasets larger than device memory)
