@@ -89,6 +89,7 @@ class MBConv(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     norm: Any = None
     drop_rate: float = 0.0  # stochastic depth, scaled by global block index
+    dw_backend: str = "conv"  # 'conv' (XLA grouped conv) | 'taps' (VPU shifts)
 
     @nn.compact
     def __call__(self, x, stochastic: bool = False):
@@ -100,12 +101,18 @@ class MBConv(nn.Module):
             h = self.norm(name="expand_bn")(h)
             h = nn.swish(h)
         k, s = self.kernel, self.stride
-        h = nn.Conv(
-            mid, (k, k), (s, s),
-            padding=[_same_pads(h.shape[1], k, s), _same_pads(h.shape[2], k, s)],
-            feature_group_count=mid,
-            use_bias=False, dtype=self.dtype, name="dw_conv",
-        )(h)
+        dw_pads = (_same_pads(h.shape[1], k, s), _same_pads(h.shape[2], k, s))
+        if self.dw_backend == "taps":
+            from fedmlp_tpu.ops.depthwise import DepthwiseTaps
+
+            h = DepthwiseTaps(mid, k, s, dw_pads, dtype=self.dtype,
+                              name="dw_conv")(h)
+        else:
+            h = nn.Conv(
+                mid, (k, k), (s, s), padding=list(dw_pads),
+                feature_group_count=mid,
+                use_bias=False, dtype=self.dtype, name="dw_conv",
+            )(h)
         h = self.norm(name="dw_bn")(h)
         h = nn.swish(h)
         # squeeze-excite on pre-expansion channel count
@@ -133,6 +140,7 @@ class EfficientNet(nn.Module):
     blocks: Sequence = _B0_BLOCKS
     dropout_p: float = 0.2        # variant rate (set by the factory)
     drop_connect_rate: float = 0.2  # lukemelas global_params default
+    dw_backend: str = "conv"      # see MBConv.dw_backend
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -168,6 +176,7 @@ class EfficientNet(nn.Module):
                     dtype=self.dtype,
                     norm=norm,
                     drop_rate=self.drop_connect_rate * gi / n_blocks,
+                    dw_backend=self.dw_backend,
                     name=f"block{bi}_{r}",
                 )(x, stochastic=stochastic)
                 in_ch = out_ch

@@ -1,0 +1,66 @@
+"""Depthwise convolution backends for TPU.
+
+The reference's EfficientNet blocks (efficientnet-pytorch MBConv, reference:
+model/efficientnet.py:28-89) spend most of their non-MXU time in depthwise
+convolutions. XLA lowers ``conv_general_dilated(feature_group_count=C)`` on
+TPU through the convolution emitter, which at batch 32 leaves the MXU idle
+and the VPU underutilized for the small channel counts of B0 (16..192).
+
+``depthwise_taps`` reformulates the k×k depthwise conv as the sum of k²
+shifted elementwise multiplies: one fused VPU loop over the output, no
+convolution lowering at all. It is algebraically identical (same kernel
+parameter layout as ``nn.Conv(feature_group_count=C)``: [k, k, 1, C]) and
+differentiates through standard slice/pad rules.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def depthwise_taps(x, w, stride: int, pads):
+    """x [B, H, W, C], w [k, k, 1, C] → [B, H', W', C].
+
+    ``pads`` is ((top, bottom), (left, right)) — TF-SAME asymmetric padding
+    computed by the caller (models/efficientnet.py::_same_pads).
+    """
+    k = w.shape[0]
+    x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    H, W = x.shape[1], x.shape[2]
+    out = None
+    for dy in range(k):
+        for dx in range(k):
+            sl = x[
+                :,
+                dy : H - k + 1 + dy : stride,
+                dx : W - k + 1 + dx : stride,
+                :,
+            ]
+            term = sl * w[dy, dx, 0]
+            out = term if out is None else out + term
+    return out
+
+
+class DepthwiseTaps(nn.Module):
+    """Drop-in for ``nn.Conv(features, (k,k), (s,s), feature_group_count=
+    features)`` with an identical parameter pytree (param 'kernel' of shape
+    [k, k, 1, features]), so torch-weight converters are backend-agnostic."""
+
+    features: int
+    kernel: int
+    stride: int
+    pads: tuple  # ((t, b), (l, r))
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        return depthwise_taps(x.astype(self.dtype), w.astype(self.dtype),
+                              self.stride, self.pads)
