@@ -95,6 +95,8 @@ def _get_pseudo_fn(trainer):
             mean=trainer.cfg.data.mean, std=trainer.cfg.data.std,
             view_mode="single",
             mesh=trainer.round_mesh,
+            augment_backend=trainer.cfg.data.augment_backend,
+            scan_unroll=trainer.cfg.scan_unroll,
         )
     return trainer._cbafed_pseudo_fn
 

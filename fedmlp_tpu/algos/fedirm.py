@@ -130,6 +130,8 @@ def _get_relation_fn(trainer):
             teacher_iter_corrected=True,
             teacher_scope="params",
             mesh=trainer.round_mesh,
+            augment_backend=trainer.cfg.data.augment_backend,
+            scan_unroll=trainer.cfg.scan_unroll,
         )
     return trainer._fedirm_rel_fn
 

@@ -267,6 +267,8 @@ def _get_stage2_fn(trainer):
             needs_global=trainer.cfg.fedmlp.stage2_distill,
             donate=True,
             mesh=trainer.round_mesh,
+            augment_backend=trainer.cfg.data.augment_backend,
+            scan_unroll=trainer.cfg.scan_unroll,
         )
     return trainer._fedmlp_stage2_fn
 

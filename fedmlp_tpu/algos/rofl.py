@@ -183,6 +183,8 @@ def _get_round_fn(trainer):
             mean=trainer.cfg.data.mean, std=trainer.cfg.data.std,
             view_mode="single", post_step=post_step,
             mesh=trainer.round_mesh,
+            augment_backend=trainer.cfg.data.augment_backend,
+            scan_unroll=trainer.cfg.scan_unroll,
         )
         trainer._rofl_harvest = rt.make_harvest_fn(
             trainer.model, trainer.cfg.data.mean, trainer.cfg.data.std,

@@ -54,6 +54,8 @@ def make_round_fn(trainer):
         view_mode="dual", needs_global=False,
         teacher_decay=TEACHER_DECAY, teacher_scope="all",
         mesh=trainer.round_mesh,
+        augment_backend=trainer.cfg.data.augment_backend,
+        scan_unroll=trainer.cfg.scan_unroll,
     )
 
 

@@ -188,6 +188,9 @@ class Config:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # engine: unroll factor of the local-step lax.scan (trades compile time
+    # and code size for less while-loop bookkeeping + cross-step scheduling)
+    scan_unroll: int = 1
     # sub-configs
     data: DataConfig = field(default_factory=DataConfig)
     fedmlp: FedMLPConfig = field(default_factory=FedMLPConfig)

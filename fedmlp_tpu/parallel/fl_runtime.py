@@ -240,7 +240,8 @@ def make_local_round(
     weight_decay: float = 5e-4,
     donate: bool = True,
     mesh=None,  # Mesh with a 'client' axis: shard_map clients across devices
-    augment_backend: str = "auto",  # 'auto' | 'gather' | 'paeth' | 'pallas'
+    augment_backend: str = "auto",  # 'auto'|'gather'|'paeth'|'pallas'|'normonly'
+    scan_unroll: int = 1,  # lax.scan unroll factor for the local-step loop
 ):
     """Build a jitted function running S local steps for ALL clients.
 
@@ -282,7 +283,12 @@ def make_local_round(
         augment_backend = (
             "pallas" if jax.devices()[0].platform == "tpu" else "gather"
         )
-    if augment_backend == "gather":
+    if augment_backend == "normonly":
+        # diagnostic backend: normalize without the random warp/flip — for
+        # isolating augmentation cost in perf probes, NOT training parity
+        def weak(imgs, key, mean_, std_):
+            return A.eval_batch(imgs, mean_, std_)
+    elif augment_backend == "gather":
         weak = A.weak_augment_batch
     else:
         from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
@@ -424,7 +430,7 @@ def make_local_round(
         init = (vars_k, opt_k, teacher_k, cstate_k, key_k, iter0,
                 jnp.float32(0), jnp.float32(0), aux0)
         (vars_k, _, teacher_k, cstate_k, _, _, loss_sum, cnt, aux_sum), _ = (
-            jax.lax.scan(body, init, xs)
+            jax.lax.scan(body, init, xs, unroll=scan_unroll)
         )
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
         return vars_k, teacher_k, cstate_k, mean_loss, aux_sum

@@ -192,6 +192,7 @@ class Trainer:
             donate=True,
             mesh=self.round_mesh,
             augment_backend=cfg.data.augment_backend,
+            scan_unroll=cfg.scan_unroll,
         )
         self.server_state = (
             self.algo.init_server_state(self) if hasattr(self.algo, "init_server_state")
