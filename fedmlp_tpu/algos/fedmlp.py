@@ -78,6 +78,44 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalar
     return loss_sup + loss_dis, (rest2, {})
 
 
+def stacked_loss_fn(params, rest, model, views, sample, svalid, ctx, rng,
+                    scalars):
+    """Stage-1 loss, channel-stacked over all K clients
+    (parallel/fl_runtime.py::make_stacked_local_round). Same math as
+    ``loss_fn``; the frozen-global logits arrive already batched at K·B."""
+    from fedmlp_tpu.models.stacked import stacked_apply
+
+    labels = sample["labels"]  # [K, B, C]
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    (_, logits1), st1 = stacked_apply(
+        model, {"params": params, **rest}, views["x1"], train=True, rng=r1)
+    rest1 = dict(rest)
+    if st1 is not None:
+        rest1["batch_stats"] = st1
+    (_, logits2), st2 = stacked_apply(
+        model, {"params": params, **rest1}, views["x2"], train=True, rng=r2)
+    rest2 = dict(rest1)
+    if st2 is not None:
+        rest2["batch_stats"] = st2
+    p1 = jax.nn.sigmoid(logits1)
+    p2 = jax.nn.sigmoid(logits2)
+    K, B, C = logits1.shape
+    g1 = jax.nn.sigmoid(views["g_logits1"])
+    g2 = jax.nn.sigmoid(views["g_logits2"])
+    sup = (L.bce_on_probs(p1, labels) + L.bce_on_probs(p2, labels)) / 2.0
+    dis = ((p1 - g1) ** 2 + (p2 - g2) ** 2) / 2.0
+    sv = svalid.astype(sup.dtype)[..., None]
+    sup = sup * sv
+    dis = dis * sv
+    active, negative = ctx["active"], ctx["negative"]  # [K, C]
+    loss_sup = (sup * active[:, None, :]).sum(axis=(1, 2)) / (
+        B * jnp.maximum(active.sum(1), 1.0))
+    loss_dis = (dis * negative[:, None, :]).sum(axis=(1, 2)) / (
+        B * jnp.maximum(negative.sum(1), 1.0))
+    loss_k = loss_sup + loss_dis
+    return loss_k.sum(), (rest2, loss_k)
+
+
 # ----------------------------------------------------------------------
 # Stage-2 loss: supervised-only on view 1 over confident cells
 # ----------------------------------------------------------------------
@@ -101,6 +139,33 @@ def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
         denom = jnp.maximum(cell.sum() + dcell.sum(), 1.0)
         loss = (sup.sum() + dis.sum()) / denom
     return loss, (rest1, {})
+
+
+def stage2_stacked_loss_fn(params, rest, model, views, sample, svalid, ctx,
+                           rng, scalars):
+    """Stage-2 supervised loss, channel-stacked (see ``stage2_loss_fn``)."""
+    from fedmlp_tpu.models.stacked import stacked_apply
+
+    labels = sample["labels"]  # [K, B, C]
+    supmask = sample["supmask"]
+    (_, logits1), st1 = stacked_apply(
+        model, {"params": params, **rest}, views["x1"], train=True, rng=rng)
+    rest1 = dict(rest)
+    if st1 is not None:
+        rest1["batch_stats"] = st1
+    p1 = jax.nn.sigmoid(logits1)
+    cell = supmask * svalid.astype(supmask.dtype)[..., None]
+    sup = L.bce_on_probs(p1, labels) * cell
+    denom = jnp.maximum(cell.sum(axis=(1, 2)), 1.0)
+    loss_k = sup.sum(axis=(1, 2)) / denom
+    if "g_logits1" in views:
+        dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[..., None]
+        g1 = jax.nn.sigmoid(views["g_logits1"])
+        dis = ((p1 - g1) ** 2) * dcell
+        denom = jnp.maximum(cell.sum(axis=(1, 2)) + dcell.sum(axis=(1, 2)),
+                            1.0)
+        loss_k = (sup.sum(axis=(1, 2)) + dis.sum(axis=(1, 2))) / denom
+    return loss_k.sum(), (rest1, loss_k)
 
 
 def stage2_mixup_loss_fn(params, rest, model, views, sample, svalid, ctx,
@@ -253,6 +318,21 @@ def _get_harvest(trainer):
 
 def _get_stage2_fn(trainer):
     if not hasattr(trainer, "_fedmlp_stage2_fn"):
+        if trainer._use_stacked() and not trainer.cfg.fedmlp.mixup:
+            trainer._fedmlp_stage2_fn = rt.make_stacked_local_round(
+                trainer.model,
+                stage2_stacked_loss_fn,
+                lr=trainer.cfg.base_lr,
+                batch_size=trainer.cfg.batch_size,
+                mean=trainer.cfg.data.mean,
+                std=trainer.cfg.data.std,
+                view_mode="dual",
+                needs_global=trainer.cfg.fedmlp.stage2_distill,
+                donate=True,
+                augment_backend=trainer.cfg.data.augment_backend,
+                scan_unroll=trainer.cfg.scan_unroll,
+            )
+            return trainer._fedmlp_stage2_fn
         trainer._fedmlp_stage2_fn = rt.make_local_round(
             trainer.model,
             stage2_mixup_loss_fn if trainer.cfg.fedmlp.mixup

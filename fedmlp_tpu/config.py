@@ -191,6 +191,10 @@ class Config:
     # engine: unroll factor of the local-step lax.scan (trades compile time
     # and code size for less while-loop bookkeeping + cross-step scheduling)
     scan_unroll: int = 1
+    # engine: channel-stacked lockstep clients (models/stacked.py) — 'auto'
+    # enables it on TPU when the algorithm + model support it and clients
+    # are not sharded over a mesh; 'on'/'off' force it
+    client_stacking: str = "auto"
     # sub-configs
     data: DataConfig = field(default_factory=DataConfig)
     fedmlp: FedMLPConfig = field(default_factory=FedMLPConfig)

@@ -539,6 +539,148 @@ def make_local_round(
     return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
 
 # ----------------------------------------------------------------------
+# Channel-stacked lockstep round: all K clients advance through each local
+# step as ONE wide network (models/stacked.py) instead of a lax.map of K
+# small ones. Profiling showed the mapped path leaves the TPU's vector
+# lanes/MXU contraction underfilled at batch 32 (BENCH_NOTES.md); stacking
+# multiplies per-op width by K. Semantics match the mapped path exactly
+# up to RNG stream assignment (tests/test_stacked_round.py).
+# ----------------------------------------------------------------------
+
+
+def make_stacked_local_round(
+    model,
+    stacked_loss_fn,
+    *,
+    lr: float,
+    batch_size: int,
+    mean,
+    std,
+    view_mode: str = "single",
+    needs_global: bool = False,
+    weight_decay: float = 5e-4,
+    donate: bool = True,
+    augment_backend: str = "auto",
+    scan_unroll: int = 1,
+):
+    """Drop-in alternative to ``make_local_round`` (same round_fn signature)
+    for algorithms providing a ``stacked_loss_fn``:
+
+      stacked_loss_fn(params, rest, model, views, sample, svalid, ctx,
+                      rng, scalars) -> (total_loss, (new_rest, loss_k [K]))
+
+    where every tensor keeps its full [K, ...] client axis and params/rest
+    are the stacked pytrees. The frozen-global forwards (``needs_global``)
+    use identical weights for every client, so they run as ONE batched
+    forward at K·B — a free K× batch amplification the mapped path
+    cannot express."""
+    tx = torch_adam(lr, weight_decay)
+
+    if augment_backend == "auto":
+        augment_backend = (
+            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+        )
+    if augment_backend == "normonly":
+        def weak(imgs, key, mean_, std_):
+            return A.eval_batch(imgs, mean_, std_)
+    elif augment_backend == "gather":
+        weak = A.weak_augment_batch
+    else:
+        from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
+
+        def weak(imgs, key, mean_, std_):
+            return weak_augment_batch_paeth(
+                imgs, key, mean_, std_,
+                use_pallas=(augment_backend == "pallas"),
+            )
+
+    def augment_views(imgs_u8, key):
+        # one augmentation call over all K·B images
+        K, B = imgs_u8.shape[:2]
+        flat = imgs_u8.reshape((K * B,) + imgs_u8.shape[2:])
+
+        def reshape(v):
+            return v.reshape((K, B) + v.shape[1:])
+
+        if view_mode == "single":
+            k1, _ = jax.random.split(key)
+            return {"x": reshape(weak(flat, k1, mean, std))}
+        k1, k2 = jax.random.split(key)
+        x1 = reshape(weak(flat, k1, mean, std))
+        if view_mode == "dual":
+            x2 = reshape(weak(flat, k2, mean, std))
+        else:
+            x2 = reshape(A.strong_augment_batch(flat, k2, mean, std))
+        return {"x1": x1, "x2": x2}
+
+    def global_logits(global_vars, views):
+        # identical weights across clients → one K·B-batch forward per view
+        def fwd(v):
+            K, B = v.shape[:2]
+            _, logits = model.apply(
+                global_vars, v.reshape((K * B,) + v.shape[2:]), train=False)
+            return logits.reshape(K, B, -1)
+
+        if view_mode == "single":
+            views["g_logits"] = fwd(views["x"])
+        else:
+            views["g_logits1"] = fwd(views["x1"])
+            views["g_logits2"] = fwd(views["x2"])
+        return views
+
+    def round_fn(state, data, plan, scalars):
+        pos, pos_valid = plan["pos"], plan["pos_valid"]  # [S, K, B]
+        K = pos.shape[1]
+        svars = state["vars"]
+        ctx = data["ctx"]
+        global_vars = data["global_vars"]
+        opt0 = tx.init(svars["params"])
+
+        def body(carry, xs):
+            vars_s, opt, key, loss_sum, cnt = carry
+            imgs, sample, step_pos, svalid = xs  # [K, B, ...]
+            key, sub = jax.random.split(key)
+            ka, kl = jax.random.split(sub)
+            views = augment_views(imgs, ka)
+            if needs_global:
+                views = global_logits(global_vars, views)
+            sample = dict(sample)
+            sample["_pos"] = step_pos
+            params = vars_s["params"]
+            rest = {k: v for k, v in vars_s.items() if k != "params"}
+
+            def lf(p):
+                return stacked_loss_fn(p, rest, model, views, sample,
+                                       svalid, ctx, kl, scalars)
+
+            (_, (new_rest, loss_k)), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt, params)
+            has_any = (svalid.sum(1) > 0).astype(jnp.float32)  # [K]
+
+            def mask(u):
+                return u * has_any.reshape((K,) + (1,) * (u.ndim - 1)).astype(
+                    u.dtype)
+
+            updates = jax.tree_util.tree_map(mask, updates)
+            new_params = optax.apply_updates(params, updates)
+            new_vars = dict(new_rest)
+            new_vars["params"] = new_params
+            return (new_vars, new_opt, key, loss_sum + loss_k * has_any,
+                    cnt + has_any), None
+
+        init = (svars, opt0, plan["key"], jnp.zeros((K,), jnp.float32),
+                jnp.zeros((K,), jnp.float32))
+        xs = (plan["images"], plan["sample"], pos, pos_valid)
+        (svars, _, _, loss_sum, cnt), _ = jax.lax.scan(
+            body, init, xs, unroll=scan_unroll)
+        mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
+        return {"vars": svars}, mean_loss, {}
+
+    return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+
+
+# ----------------------------------------------------------------------
 # Full-dataset harvest: per-client features + probs over the padded table
 # (FedMLP prototype/τ extraction passes, reference:
 #  utils/local_training.py:971-1002, 1023-1049, 1208-1250 — the reference

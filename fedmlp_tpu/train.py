@@ -180,20 +180,36 @@ class Trainer:
 
         # ---- algorithm ----
         self.algo = algo_registry.get_algorithm(cfg.algorithm)
-        self.round_fn = rt.make_local_round(
-            self.model,
-            self.algo.loss_fn,
-            lr=cfg.base_lr,
-            batch_size=cfg.batch_size,
-            mean=cfg.data.mean,
-            std=cfg.data.std,
-            view_mode=self.algo.VIEW_MODE,
-            needs_global=self.algo.NEEDS_GLOBAL,
-            donate=True,
-            mesh=self.round_mesh,
-            augment_backend=cfg.data.augment_backend,
-            scan_unroll=cfg.scan_unroll,
-        )
+        if self._use_stacked():
+            self.round_fn = rt.make_stacked_local_round(
+                self.model,
+                self.algo.stacked_loss_fn,
+                lr=cfg.base_lr,
+                batch_size=cfg.batch_size,
+                mean=cfg.data.mean,
+                std=cfg.data.std,
+                view_mode=self.algo.VIEW_MODE,
+                needs_global=self.algo.NEEDS_GLOBAL,
+                donate=True,
+                augment_backend=cfg.data.augment_backend,
+                scan_unroll=cfg.scan_unroll,
+            )
+            log.info("engine: channel-stacked lockstep clients")
+        else:
+            self.round_fn = rt.make_local_round(
+                self.model,
+                self.algo.loss_fn,
+                lr=cfg.base_lr,
+                batch_size=cfg.batch_size,
+                mean=cfg.data.mean,
+                std=cfg.data.std,
+                view_mode=self.algo.VIEW_MODE,
+                needs_global=self.algo.NEEDS_GLOBAL,
+                donate=True,
+                mesh=self.round_mesh,
+                augment_backend=cfg.data.augment_backend,
+                scan_unroll=cfg.scan_unroll,
+            )
         self.server_state = (
             self.algo.init_server_state(self) if hasattr(self.algo, "init_server_state")
             else {}
@@ -213,6 +229,29 @@ class Trainer:
         )
         self._fedavg_jit = jax.jit(agg_fedavg)
         _tick("runtime setup")
+
+    # ------------------------------------------------------------------
+    def _use_stacked(self) -> bool:
+        """Channel-stacked lockstep clients (models/stacked.py): 'auto'
+        engages on TPU for supported (algorithm, model) pairs when clients
+        are not sharded over a mesh; 'on' forces it anywhere."""
+        from fedmlp_tpu.models.stacked import supports_stacking
+
+        mode = self.cfg.client_stacking
+        if mode == "off":
+            return False
+        ok = (
+            hasattr(self.algo, "stacked_loss_fn")
+            and supports_stacking(self.model)
+            and self.round_mesh is None
+        )
+        if mode == "on":
+            if not ok:
+                raise ValueError(
+                    "client_stacking='on' but the algorithm/model/mesh "
+                    "combination does not support stacked execution")
+            return True
+        return ok and jax.devices()[0].platform == "tpu"
 
     # ------------------------------------------------------------------
     def client_ctx(self) -> dict:

@@ -30,6 +30,9 @@ VARIANTS = {
     "unroll8": {"scan_unroll": 8},
     "normonly": {"augment_backend": "normonly"},
     "unroll4_normonly": {"scan_unroll": 4, "augment_backend": "normonly"},
+    "mapped": {"client_stacking": "off"},
+    "stacked": {"client_stacking": "on"},
+    "stacked_unroll4": {"client_stacking": "on", "scan_unroll": 4},
 }
 
 
@@ -71,16 +74,24 @@ def main():
             jax.tree_util.tree_leaves(t.global_vars["params"])[0].ravel()[:1]))
         imgs_per_round = int(np.asarray(t.fd.valid).sum())
 
+        import contextlib
+
+        prof_dir = os.environ.get("PROBE_PROFILE")
+        prof = (jax.profiler.trace(f"{prof_dir}/{name}")
+                if prof_dir else contextlib.nullcontext())
         rnd = 2
         t0 = time.perf_counter()
-        for _ in range(ROUNDS):
-            state, _losses, _ = t.local_pass(
-                t.round_fn, {"labels": t.fd.obs_targets}, t.round_scalars(rnd)
-            )
-            t.global_vars = t.aggregate(state["vars"], t.dict_len)
-            rnd += 1
-        np.asarray(jax.device_get(
-            jax.tree_util.tree_leaves(t.global_vars["params"])[0].ravel()[:1]))
+        with prof:
+            for _ in range(ROUNDS):
+                state, _losses, _ = t.local_pass(
+                    t.round_fn, {"labels": t.fd.obs_targets},
+                    t.round_scalars(rnd)
+                )
+                t.global_vars = t.aggregate(state["vars"], t.dict_len)
+                rnd += 1
+            np.asarray(jax.device_get(
+                jax.tree_util.tree_leaves(
+                    t.global_vars["params"])[0].ravel()[:1]))
         per_round = (time.perf_counter() - t0) / ROUNDS
         results[f"{name}_round_ms"] = round(per_round * 1e3, 1)
         results[f"{name}_imgps"] = round(imgs_per_round / per_round, 1)
