@@ -251,7 +251,10 @@ class Trainer:
                     "client_stacking='on' but the algorithm/model/mesh "
                     "combination does not support stacked execution")
             return True
-        return ok and jax.devices()[0].platform == "tpu"
+        # 'auto' stays OFF until the stacked program beats the mapped one
+        # on TPU (first A/B: 2120 vs 2643 img/s — pointwise layout work in
+        # progress, see BENCH_NOTES.md)
+        return False
 
     # ------------------------------------------------------------------
     def client_ctx(self) -> dict:
