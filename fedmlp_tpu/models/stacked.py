@@ -81,48 +81,178 @@ def _depthwise_conv(x, w_k, stride, pads, dtype):
     )
 
 
+def _build_bd(w_k, dtype):
+    """[K,Ci,Co] per-client weights → [K*Ci, K*Co] block-diagonal matrix."""
+    K, ci, co = w_k.shape
+    eye = jnp.eye(K, dtype=dtype)
+    return jnp.einsum("kcd,kl->kcld", w_k.astype(dtype), eye).reshape(
+        K * ci, K * co)
+
+
+@jax.custom_vjp
+def _bd_matmul(x2d, w_k):
+    """x2d [R, K*Ci] @ blockdiag(w_k [K,Ci,Co]) → [R, K*Co].
+
+    Custom VJP because XLA's autodiff wgrad (dot contracting over the R
+    rows) materializes a transposed copy of whichever operand it fancies —
+    measured as a 616 MB flops=0 transpose of the GRADIENT per early layer.
+    Here the wgrad explicitly transposes the smaller of (x, g) and runs a
+    plain NN matmul, then extracts the diagonal blocks."""
+    bd = _build_bd(w_k, x2d.dtype)
+    return jax.lax.dot_general(
+        x2d, bd, (((1,), (0,)), ((), ())), preferred_element_type=x2d.dtype)
+
+
+def _bd_matmul_fwd(x2d, w_k):
+    return _bd_matmul(x2d, w_k), (x2d, w_k)
+
+
+def _bd_matmul_bwd(res, g):
+    x2d, w_k = res
+    K, ci, co = w_k.shape
+    bd = _build_bd(w_k, x2d.dtype)
+    # dx: [R, K*Co] x [K*Ci, K*Co]^T — NT matmul, no materialized transpose
+    dx = jax.lax.dot_general(
+        g, bd, (((1,), (1,)), ((), ())), preferred_element_type=x2d.dtype)
+    eye = jnp.eye(K)
+    if ci <= co:
+        xT = x2d.T  # transpose the SMALLER operand
+        dense = jax.lax.dot_general(
+            xT, g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [K*Ci, K*Co]
+        dw = jnp.einsum("kcld,kl->kcd", dense.reshape(K, ci, K, co), eye)
+    else:
+        gT = g.T
+        denseT = jax.lax.dot_general(
+            gT, x2d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [K*Co, K*Ci]
+        dw = jnp.einsum("ldkc,lk->kcd", denseT.reshape(K, co, K, ci), eye)
+    return dx, dw.astype(w_k.dtype)
+
+
+_bd_matmul.defvjp(_bd_matmul_fwd, _bd_matmul_bwd)
+
+
 def _pointwise(x, w_k, b_k, dtype):
-    """Per-client 1×1 conv as a K-batched MXU matmul.
-    x [B,H,W,K*Ci], w_k [K,1,1,Ci,Co] (or [K,Ci,Co]), b_k [K,Co] or None."""
+    """Per-client 1×1 conv on the fixed [B,H,W,K*C] layout.
+
+    A K-batched einsum ('bhwkc,kcd->bhwkd') is algebraically cleanest but
+    forces XLA to transpose k to a leading batch dim and back around EVERY
+    layer (measured 18.4 ms/step of pure data formatting in the full net).
+    Two zero-relayout forms remain, chosen per layer by a static cost
+    model (shapes are trace-time constants):
+
+      * block-diagonal dense matmul — K× dead FLOPs on the MXU, but the
+        cleanest lowering; wins while the matmul stays bandwidth-bound;
+      * grouped conv (feature_group_count=K) — minimal FLOPs, ~1.6×
+        lowering overhead; wins once K× dead FLOPs would dominate.
+    """
     K = w_k.shape[0]
     if w_k.ndim == 5:
         w_k = w_k[:, 0, 0]
     ci, co = w_k.shape[1:]
     B, H, W, _ = x.shape
-    x5 = x.reshape(B, H, W, K, ci)
-    y = jnp.einsum("bhwkc,kcd->bhwkd", x5, w_k.astype(dtype))
+    rows = B * H * W
+    # fwd+bwd ≈ 3 matmuls; bytes ≈ read x + write y (+ grad mirror images)
+    flops_bd = 3 * 2.0 * rows * (K * ci) * (K * co)
+    flops_gr = 3 * 2.0 * rows * K * ci * co
+    bytes_xy = 3 * 2.0 * rows * K * (ci + co)
+    t_bd = max(bytes_xy / 8e11, flops_bd / 1.6e14)
+    t_gr = 1.6 * max(bytes_xy / 8e11, flops_gr / 1.6e14)
+    if t_bd <= t_gr:
+        y = _bd_matmul(x.reshape(-1, K * ci), w_k.astype(dtype))
+        y = y.reshape(B, H, W, K * co)
+    else:
+        rhs = jnp.transpose(w_k, (1, 0, 2)).reshape(1, 1, ci, K * co)
+        y = jax.lax.conv_general_dilated(
+            x, rhs.astype(dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=K)
     if b_k is not None:
-        y = y + b_k.astype(dtype)
-    return y.reshape(B, H, W, K * co)
+        y = y + b_k.reshape(K * co).astype(dtype)
+    return y
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_core(x, scale, bias, eps):
+    """Training-mode BN over the last axis: y plus batch (mean, var) in f32.
+
+    Custom VJP with the analytic BN backward: XLA's autodiff of the
+    stats path materializes f32 cotangent copies of the full activation
+    (measured ~6.5 ms/step of add_any at B0 scale); the closed form needs
+    only two channel reductions over (g, g·x̂) and one elementwise pass.
+
+    CONTRACT: the (mean, var) outputs are EMA side-channels — their
+    cotangents are ignored in the backward. Do not differentiate through
+    them (the engine never does: new batch_stats ride the has_aux path)."""
+    y, mean, var, _ = _bn_train_impl(x, scale, bias, eps)
+    return y, mean, var
+
+
+def _bn_train_impl(x, scale, bias, eps):
+    dtype = x.dtype
+    mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)), dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)),
+                     axis=tuple(range(x.ndim - 1)))
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rsig = jax.lax.rsqrt(var + eps).astype(dtype)  # flax adds eps in dtype
+    y = (x - mean.astype(dtype)) * (rsig * scale.astype(dtype)) \
+        + bias.astype(dtype)
+    return y, mean, var, rsig
+
+
+def _bn_train_fwd(x, scale, bias, eps):
+    y, mean, var, rsig = _bn_train_impl(x, scale, bias, eps)
+    return (y, mean, var), (x, mean, rsig, scale)
+
+
+def _bn_train_bwd(eps, res, cts):
+    g, _g_mean, _g_var = cts  # stats cotangents ignored (see contract)
+    x, mean, rsig, scale = res
+    dtype = x.dtype
+    axes = tuple(range(x.ndim - 1))
+    n = 1.0
+    for a in axes:
+        n *= x.shape[a]
+    xhat = (x - mean.astype(dtype)) * rsig
+    dbias = jnp.sum(g, axis=axes, dtype=jnp.float32)
+    dscale = jnp.sum(g * xhat, axis=axes, dtype=jnp.float32)
+    coef = (scale.astype(jnp.float32) * rsig.astype(jnp.float32))
+    dx = coef.astype(dtype) * (
+        g - (dbias / n).astype(dtype) - xhat * (dscale / n).astype(dtype)
+    )
+    return dx, dscale, dbias
+
+
+_bn_train_core.defvjp(_bn_train_fwd, _bn_train_bwd)
 
 
 def _batchnorm(x, scale_k, bias_k, stats_k, train, momentum, eps, dtype):
-    """Per-channel BN over the stacked K*C channel axis — exactly flax
+    """Per-channel BN over the stacked K*C channel axis — flax
     nn.BatchNorm semantics (stats in f32, E[x²]−E[x]² variance, EMA
     update with `momentum`). Returns (y, new_stats {mean, var} [K,C])."""
     KC = x.shape[-1]
     scale = scale_k.reshape(KC).astype(jnp.float32)
     bias = bias_k.reshape(KC).astype(jnp.float32)
     if train:
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=(0, 1, 2))
-        mean2 = (xf * xf).mean(axis=(0, 1, 2))
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y, mean, var = _bn_train_core(x.astype(dtype), scale, bias, eps)
         kshape = stats_k["mean"].shape
         new_stats = {
             "mean": momentum * stats_k["mean"] + (1 - momentum) * mean.reshape(kshape),
             "var": momentum * stats_k["var"] + (1 - momentum) * var.reshape(kshape),
         }
-    else:
-        mean = stats_k["mean"].reshape(KC).astype(jnp.float32)
-        var = stats_k["var"].reshape(KC).astype(jnp.float32)
-        new_stats = stats_k
+        return y, new_stats
+    mean = stats_k["mean"].reshape(KC).astype(jnp.float32)
+    var = stats_k["var"].reshape(KC).astype(jnp.float32)
     # normalization math runs in the compute dtype, exactly like flax's
     # _normalize (promote_dtype(..., dtype=self.dtype))
     y = (x.astype(dtype) - mean.astype(dtype)) * jax.lax.rsqrt(
         var.astype(dtype) + jnp.asarray(eps, dtype)
     ) * scale.astype(dtype) + bias.astype(dtype)
-    return y, new_stats
+    return y, stats_k
 
 
 def _stack_in(x):

@@ -71,6 +71,44 @@ def test_stacked_matches_per_client(ctor, image):
                 rtol=2e-4, atol=2e-4, err_msg=str(path))
 
 
+def test_pointwise_formulations_agree():
+    """blockdiag-matmul and grouped-conv pointwise forms == reference
+    einsum, values and gradients (the cost model may pick either)."""
+    from fedmlp_tpu.models.stacked import _bd_matmul
+
+    rs = np.random.RandomState(3)
+    Kk, ci, co, rows = 4, 6, 10, 50
+    x = jnp.asarray(rs.randn(rows, Kk * ci), jnp.float32)
+    w = jnp.asarray(rs.randn(Kk, ci, co), jnp.float32)
+
+    def ref(x, w):
+        x5 = x.reshape(rows, Kk, ci)
+        return jnp.einsum("rkc,kcd->rkd", x5, w).reshape(rows, Kk * co)
+
+    def grouped(x, w):
+        rhs = jnp.transpose(w, (1, 0, 2)).reshape(1, 1, ci, Kk * co)
+        return jax.lax.conv_general_dilated(
+            x.reshape(rows, 1, 1, Kk * ci), rhs, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=Kk).reshape(rows, Kk * co)
+
+    y_ref = ref(x, w)
+    np.testing.assert_allclose(np.asarray(_bd_matmul(x, w)),
+                               np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grouped(x, w)),
+                               np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    gt = jnp.asarray(rs.rand(rows, Kk * co), jnp.float32)
+    for fn in (_bd_matmul, grouped):
+        ga = jax.grad(lambda x, w: ((fn(x, w) - gt) ** 2).sum(),
+                      argnums=(0, 1))(x, w)
+        gr = jax.grad(lambda x, w: ((ref(x, w) - gt) ** 2).sum(),
+                      argnums=(0, 1))(x, w)
+        for a, b in zip(ga, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_stacked_gradients_match():
     model = smallcnn(5, dtype=jnp.float32)
     key = jax.random.PRNGKey(1)
