@@ -56,6 +56,7 @@ def make_round_fn(trainer):
         mesh=trainer.round_mesh,
         augment_backend=trainer.cfg.data.augment_backend,
         scan_unroll=trainer.cfg.scan_unroll,
+        weight_stream_dtype=trainer.weight_stream_dtype,
     )
 
 

@@ -195,6 +195,12 @@ class Config:
     # enables it on TPU when the algorithm + model support it and clients
     # are not sharded over a mesh; 'on'/'off' force it
     client_stacking: str = "auto"
+    # engine: when compute_dtype is bfloat16, cast the f32 master weights
+    # once per step so conv fusions stream bf16 (not f32) weights to VMEM.
+    # Measured NEGATIVE on the bench round (2640 → 2388 img/s: the explicit
+    # cast materializes and displaces XLA's own scheduling) — default off,
+    # kept as a measured knob.
+    weight_stream: int = 0
     # sub-configs
     data: DataConfig = field(default_factory=DataConfig)
     fedmlp: FedMLPConfig = field(default_factory=FedMLPConfig)

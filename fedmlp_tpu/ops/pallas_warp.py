@@ -70,14 +70,19 @@ def _hshift_kernel(shifts_ref, in_ref, out_ref, *, width):
     slice. The input is zero-padded with a 128-lane left margin, so the
     rotate never wraps live pixels into the output window."""
     rb = out_ref.shape[1]
+    Wp = in_ref.shape[2]
     row0 = pl.program_id(0) * rb
     for r in range(rb):  # static unroll over the row block
         s = shifts_ref[0, row0 + r]
         k = jnp.floor(s).astype(jnp.int32)
         w = s - k.astype(jnp.float32)
         row = in_ref[:, r, :]  # [C, Wp]
-        lo = pltpu.roll(row, -k, axis=1)[:, 128 : 128 + width]
-        hi = pltpu.roll(row, -(k + 1), axis=1)[:, 128 : 128 + width]
+        # compiled Mosaic mis-lowers NEGATIVE traced roll amounts (verified
+        # on-device: positive k → wrong output, negative k → correct);
+        # keep the cyclic shift non-negative via mod
+        sh = jnp.mod(-k, Wp)
+        lo = pltpu.roll(row, sh, axis=1)[:, 128 : 128 + width]
+        hi = pltpu.roll(row, jnp.mod(sh - 1, Wp), axis=1)[:, 128 : 128 + width]
         out_ref[:, r, :] = (1.0 - w) * lo + w * hi
 
 
@@ -154,6 +159,118 @@ def _use_pallas(flag):
 # ----------------------------------------------------------------------
 # Weak-augmentation pipeline on the Paeth path
 # ----------------------------------------------------------------------
+
+# ----------------------------------------------------------------------
+# v2: fully fused warp — all three shear passes + normalize in ONE kernel,
+# image resident in VMEM throughout. The v1 pipeline round-trips a padded
+# f32 [3,224,512] workspace through HBM per pass (+2 transposes): ~12 MB of
+# HBM traffic per image for a 0.15 MB input. Here: read u8 once, write the
+# normalized f32 output once (~0.8 MB/image), everything else in VMEM.
+# The horizontal flip is pre-composed into the affine parameters
+# (flip∘affine(θ,tx,ty) ≡ affine(−θ,−tx,ty)∘flip, flip applied to the
+# cheap u8 input), so the kernel itself is flip-free.
+# ----------------------------------------------------------------------
+
+
+def _fused_warp_kernel(s_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
+                       mean, std):
+    """s_ref SMEM [3, S] shift vectors; img_ref u8 [3, S, S];
+    out_ref f32 [3, S, S]; buf_a/buf_b VMEM [3, S, Sp] ping-pong with a
+    128-lane zero left margin (see _hshift_kernel for the roll trick)."""
+
+    def shift_pass(src, dst, srow, normalize_out=False):
+        def body(r, _):
+            s = s_ref[srow, r]
+            k = jnp.floor(s).astype(jnp.int32)
+            w = s - k.astype(jnp.float32)
+            row = src[:, pl.ds(r, 1), :]  # [3, 1, Sp]
+            # non-negative cyclic shifts only — see _hshift_kernel
+            sh = jnp.mod(-k, Sp)
+            lo = pltpu.roll(row, sh, axis=2)[:, :, 128 : 128 + S]
+            hi = pltpu.roll(row, jnp.mod(sh - 1, Sp), axis=2)[:, :, 128 : 128 + S]
+            val = (1.0 - w) * lo + w * hi
+            if normalize_out:
+                # python-unrolled channels: scalars only, no captured consts
+                for c in range(3):
+                    m = float(mean[c]) * 255.0
+                    sd = float(std[c]) * 255.0
+                    out_ref[c, pl.ds(r, 1), :] = (val[c] - m) / sd
+            else:
+                dst[:, pl.ds(r, 1), 128 : 128 + S] = val
+            return 0
+
+        jax.lax.fori_loop(0, S, body, 0)
+
+    zeros = jnp.zeros((3, S, Sp), jnp.float32)
+    buf_a[:] = zeros
+    # Mosaic has no direct u8->f32 cast; hop through int32
+    buf_a[:, :, 128 : 128 + S] = img_ref[:].astype(jnp.int32).astype(
+        jnp.float32)
+    buf_b[:] = zeros
+    shift_pass(buf_a, buf_b, 0)  # horizontal shear 1
+    # transpose in VMEM for the vertical shear
+    buf_a[:, :, 128 : 128 + S] = jnp.swapaxes(
+        buf_b[:, :, 128 : 128 + S], 1, 2)
+    shift_pass(buf_a, buf_b, 1)  # vertical shear (as rows of the transpose)
+    buf_a[:, :, 128 : 128 + S] = jnp.swapaxes(
+        buf_b[:, :, 128 : 128 + S], 1, 2)
+    shift_pass(buf_a, None, 2, normalize_out=True)  # shear 3 + normalize
+
+
+def fused_warp_normalize(img_u8_planar, shifts, mean, std,
+                         interpret: bool | None = None):
+    """One image: u8 [3, S, S] + shifts [3, S] → normalized f32 [3, S, S]."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    C, S, S2 = img_u8_planar.shape
+    assert C == 3 and S == S2, "fused warp expects square RGB planar input"
+    Sp = ((S + 160 + 127) // 128) * 128  # 128 left margin + ≥32 right slack
+    kernel = functools.partial(_fused_warp_kernel, S=S, Sp=Sp,
+                               mean=tuple(mean), std=tuple(std))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, S, S), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            memory_space=pl.ANY if interpret else pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, S, Sp), jnp.float32),
+            pltpu.VMEM((3, S, Sp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(shifts.astype(jnp.float32), img_u8_planar)
+
+
+def weak_augment_batch_fused(images_u8, key, mean, std, degrees=10.0,
+                             translate=0.02, use_pallas: bool | None = None):
+    """Fused-kernel weak augmentation: same parameter distributions as
+    weak_augment_batch_paeth, flip folded into the affine params."""
+    B, H, W, _ = images_u8.shape
+    keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
+
+    def one(img, ks):
+        k1, k2 = ks[0], ks[1]
+        ka, kb, kc = jax.random.split(k1, 3)
+        ang = jax.random.uniform(ka, (), minval=-degrees, maxval=degrees)
+        tx = jax.random.uniform(kb, (), minval=-translate, maxval=translate) * W
+        ty = jax.random.uniform(kc, (), minval=-translate, maxval=translate) * H
+        flip = jax.random.bernoulli(k2, 0.5)
+        # flip(affine(x; θ, tx, ty)) == affine(flip(x); −θ, −tx, ty)
+        ang = jnp.where(flip, -ang, ang)
+        tx = jnp.where(flip, -tx, tx)
+        planar = img.transpose(2, 0, 1)  # u8 [3, H, W]
+        planar = jnp.where(flip, planar[:, :, ::-1], planar)
+        s1, s2, s3 = paeth_shift_vectors(jnp.deg2rad(ang), tx, ty, H, W)
+        shifts = jnp.stack([s1, s2, s3])
+        out = fused_warp_normalize(planar, shifts, mean, std,
+                                   interpret=not _use_pallas(use_pallas))
+        return out.transpose(1, 2, 0)
+
+    return jax.vmap(one)(images_u8, keys)
+
 
 def weak_augment_batch_paeth(images_u8, key, mean, std, degrees=10.0,
                              translate=0.02, use_pallas: bool | None = None):

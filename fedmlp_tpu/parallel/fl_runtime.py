@@ -223,6 +223,38 @@ def gather_round_data(images, idx, sample_arrays, pos):
 LossFn = Callable[..., tuple[jnp.ndarray, tuple]]
 
 
+
+def _pick_weak_backend(augment_backend: str):
+    """Weak-augmentation implementation by name. 'auto' resolved upstream.
+
+    * 'pallas'  — 3-kernel Paeth shear pipeline (ops/pallas_warp.py v1)
+    * 'fused'   — single fused warp+normalize kernel (v2, lowest HBM traffic)
+    * 'gather'  — jnp bilinear warp (fast on CPU, pathological on TPU)
+    * 'normonly'— diagnostic: normalize without warp/flip (perf probes only)
+    """
+    if augment_backend == "normonly":
+        def weak(imgs, key, mean_, std_):
+            return A.eval_batch(imgs, mean_, std_)
+        return weak
+    if augment_backend == "gather":
+        return A.weak_augment_batch
+    if augment_backend == "fused":
+        from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_fused
+
+        def weak(imgs, key, mean_, std_):
+            return weak_augment_batch_fused(imgs, key, mean_, std_,
+                                            use_pallas=True)
+        return weak
+    from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
+
+    def weak(imgs, key, mean_, std_):
+        return weak_augment_batch_paeth(
+            imgs, key, mean_, std_,
+            use_pallas=(augment_backend == "pallas"),
+        )
+    return weak
+
+
 def make_local_round(
     model,
     loss_fn: LossFn,
@@ -242,6 +274,7 @@ def make_local_round(
     mesh=None,  # Mesh with a 'client' axis: shard_map clients across devices
     augment_backend: str = "auto",  # 'auto'|'gather'|'paeth'|'pallas'|'normonly'
     scan_unroll: int = 1,  # lax.scan unroll factor for the local-step loop
+    weight_stream_dtype=None,  # cast f32 params once per step for compute
 ):
     """Build a jitted function running S local steps for ALL clients.
 
@@ -283,21 +316,7 @@ def make_local_round(
         augment_backend = (
             "pallas" if jax.devices()[0].platform == "tpu" else "gather"
         )
-    if augment_backend == "normonly":
-        # diagnostic backend: normalize without the random warp/flip — for
-        # isolating augmentation cost in perf probes, NOT training parity
-        def weak(imgs, key, mean_, std_):
-            return A.eval_batch(imgs, mean_, std_)
-    elif augment_backend == "gather":
-        weak = A.weak_augment_batch
-    else:
-        from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
-
-        def weak(imgs, key, mean_, std_):
-            return weak_augment_batch_paeth(
-                imgs, key, mean_, std_,
-                use_pallas=(augment_backend == "pallas"),
-            )
+    weak = _pick_weak_backend(augment_backend)
 
     def augment_views(imgs_u8, key):
         if view_mode == "single":
@@ -337,6 +356,14 @@ def make_local_round(
         rest = {k: v for k, v in vars_k.items() if k != "params"}
 
         def lf(p):
+            if weight_stream_dtype is not None:
+                # cast the f32 master weights ONCE per step: every conv
+                # fusion then streams bf16 weights to VMEM instead of f32
+                # (profiling showed ~0.5 GB/step of f32 weight copies);
+                # grads flow back through the cast to the f32 master
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(weight_stream_dtype)
+                    if x.dtype == jnp.float32 else x, p)
             return loss_fn(p, rest, model, views, sample, svalid, ctx,
                            cstate_k, kl, scalars)
 
@@ -580,19 +607,7 @@ def make_stacked_local_round(
         augment_backend = (
             "pallas" if jax.devices()[0].platform == "tpu" else "gather"
         )
-    if augment_backend == "normonly":
-        def weak(imgs, key, mean_, std_):
-            return A.eval_batch(imgs, mean_, std_)
-    elif augment_backend == "gather":
-        weak = A.weak_augment_batch
-    else:
-        from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
-
-        def weak(imgs, key, mean_, std_):
-            return weak_augment_batch_paeth(
-                imgs, key, mean_, std_,
-                use_pallas=(augment_backend == "pallas"),
-            )
+    weak = _pick_weak_backend(augment_backend)
 
     def augment_views(imgs_u8, key):
         # one augmentation call over all K·B images

@@ -179,6 +179,11 @@ class Trainer:
         )
 
         # ---- algorithm ----
+        self.weight_stream_dtype = (
+            jnp.bfloat16
+            if cfg.weight_stream and cfg.compute_dtype == "bfloat16"
+            else None
+        )
         self.algo = algo_registry.get_algorithm(cfg.algorithm)
         if self._use_stacked():
             self.round_fn = rt.make_stacked_local_round(
@@ -209,6 +214,7 @@ class Trainer:
                 mesh=self.round_mesh,
                 augment_backend=cfg.data.augment_backend,
                 scan_unroll=cfg.scan_unroll,
+                weight_stream_dtype=self.weight_stream_dtype,
             )
         self.server_state = (
             self.algo.init_server_state(self) if hasattr(self.algo, "init_server_state")

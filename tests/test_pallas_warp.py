@@ -84,3 +84,45 @@ def test_weak_augment_paeth_close_to_gather_warp(rng):
     diff = np.abs(a - b)[:, 10:-10, 10:-10, :]
     assert np.median(diff) < 0.05
     assert diff.mean() < 0.12
+
+
+def test_fused_warp_matches_paeth_pipeline():
+    """The single-kernel fused warp (v2) == the 3-kernel paeth pipeline,
+    including the flip-folded-into-params equivalence
+    (flip∘affine(θ,tx,ty) ≡ affine(−θ,−tx,ty)∘flip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fedmlp_tpu.ops.pallas_warp import (weak_augment_batch_fused,
+                                            weak_augment_batch_paeth)
+
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (6, 64, 64, 3), np.uint8))
+    key = jax.random.PRNGKey(42)
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    a = weak_augment_batch_fused(imgs, key, mean, std, use_pallas=False)
+    b = weak_augment_batch_paeth(imgs, key, mean, std, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_roll_shift_sign_semantics():
+    """Cyclic-shift equivalence used by the non-negative-mod workaround:
+    roll(x, mod(-k, W)) == roll(x, -k) for positive and negative k (the
+    compiled Mosaic lowering of negative traced shifts was observed wrong
+    on device; interpret mode checks the arithmetic identity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fedmlp_tpu.ops.pallas_warp import hshift_rows_jnp, hshift_rows_pallas
+
+    planar = jnp.asarray(
+        np.random.RandomState(1).rand(3, 16, 64).astype(np.float32))
+    for sval in (5.3, -7.8, 0.0, 31.9, -31.9):
+        shifts = jnp.full((16,), sval, jnp.float32)
+        got = hshift_rows_pallas(planar, shifts, interpret=True)
+        ref = hshift_rows_jnp(planar, shifts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -31,6 +31,8 @@ VARIANTS = {
     "normonly": {"augment_backend": "normonly"},
     "unroll4_normonly": {"scan_unroll": 4, "augment_backend": "normonly"},
     "mapped": {"client_stacking": "off"},
+    "nostream": {"client_stacking": "off", "weight_stream": 0},
+    "fusedaug": {"client_stacking": "off", "augment_backend": "fused"},
     "stacked": {"client_stacking": "on"},
     "stacked_unroll4": {"client_stacking": "on", "scan_unroll": 4},
 }
