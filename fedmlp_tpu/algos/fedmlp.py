@@ -331,7 +331,7 @@ def _get_stage2_fn(trainer):
                 donate=True,
                 augment_backend=trainer.cfg.data.augment_backend,
                 scan_unroll=trainer.cfg.scan_unroll,
-                weight_stream_dtype=trainer.weight_stream_dtype,
+                hoist_augment=bool(trainer.cfg.hoist_augment),
             )
             return trainer._fedmlp_stage2_fn
         trainer._fedmlp_stage2_fn = rt.make_local_round(
@@ -350,6 +350,7 @@ def _get_stage2_fn(trainer):
             mesh=trainer.round_mesh,
             augment_backend=trainer.cfg.data.augment_backend,
             scan_unroll=trainer.cfg.scan_unroll,
+            hoist_augment=bool(trainer.cfg.hoist_augment),
             weight_stream_dtype=trainer.weight_stream_dtype,
         )
     return trainer._fedmlp_stage2_fn

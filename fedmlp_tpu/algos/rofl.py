@@ -185,6 +185,7 @@ def _get_round_fn(trainer):
             mesh=trainer.round_mesh,
             augment_backend=trainer.cfg.data.augment_backend,
             scan_unroll=trainer.cfg.scan_unroll,
+            hoist_augment=bool(trainer.cfg.hoist_augment),
             weight_stream_dtype=trainer.weight_stream_dtype,
         )
         trainer._rofl_harvest = rt.make_harvest_fn(

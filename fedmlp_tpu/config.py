@@ -195,6 +195,9 @@ class Config:
     # enables it on TPU when the algorithm + model support it and clients
     # are not sharded over a mesh; 'on'/'off' force it
     client_stacking: str = "auto"
+    # engine: hoist augmentation out of the local-step scan into one
+    # batched warp over all S*K*B round images (when they fit)
+    hoist_augment: int = 1
     # engine: when compute_dtype is bfloat16, cast the f32 master weights
     # once per step so conv fusions stream bf16 (not f32) weights to VMEM.
     # Measured NEGATIVE on the bench round (2640 → 2388 img/s: the explicit

@@ -275,6 +275,7 @@ def make_local_round(
     augment_backend: str = "auto",  # 'auto'|'gather'|'paeth'|'pallas'|'normonly'
     scan_unroll: int = 1,  # lax.scan unroll factor for the local-step loop
     weight_stream_dtype=None,  # cast f32 params once per step for compute
+    hoist_augment: bool = True,  # batch the round's augmentation pre-scan
 ):
     """Build a jitted function running S local steps for ALL clients.
 
@@ -337,7 +338,10 @@ def make_local_round(
             # distinct augmentation randomness per data shard
             key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         ka, kl = jax.random.split(key)
-        views = augment_views(imgs_u8, ka)
+        # xs may carry pre-augmented views (dict) when the round hoisted
+        # augmentation out of the scan — see round_fn
+        views = (dict(imgs_u8) if isinstance(imgs_u8, dict)
+                 else augment_views(imgs_u8, ka))
         if needs_global:
             if view_mode == "single":
                 _, glog = model.apply(global_vars, views["x"], train=False)
@@ -472,8 +476,33 @@ def make_local_round(
         global_vars = data["global_vars"]
 
         keys = jax.random.split(plan["key"], K)
+        imgs = plan["images"]
+        n_views = 1 if view_mode == "single" else 2
+        # Hoist augmentation out of the scan when the round's view tensors
+        # fit comfortably in HBM: ONE batched warp over all S·K·B images
+        # replaces S·K in-scan calls (the warp's grid parallelism amortizes;
+        # in-scan augmentation measured ~10% of the bench round). Disabled
+        # under data-axis sharding (per-shard RNG folding happens in-step).
+        hoist = (
+            hoist_augment
+            and not isinstance(imgs, dict)
+            and imgs.ndim == 6
+            and imgs.shape[0] * imgs.shape[1] * imgs.shape[2] * n_views
+            <= 4096
+            and (mesh is None or mesh.shape.get("data", 1) == 1)
+        )
+        if hoist:
+            S_, K_, B_ = imgs.shape[:3]
+            flat = imgs.reshape((S_ * K_ * B_,) + imgs.shape[3:])
+            views_flat = augment_views(
+                flat, jax.random.fold_in(plan["key"], 0x9A))
+            imgs = {
+                k: v.reshape((S_, K_, B_) + v.shape[1:])
+                for k, v in views_flat.items()
+            }
         # K-major views for the per-client map
-        imgs_km = jnp.swapaxes(plan["images"], 0, 1)  # [K, S, B, ...]
+        imgs_km = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), imgs)  # [K, S, B, ...]
         sample_km = jax.tree_util.tree_map(
             lambda x: jnp.swapaxes(x, 0, 1), plan["sample"]
         )
@@ -538,7 +567,7 @@ def make_local_round(
             )
             spec = (
                 cl_only(vars_a), cl_only(teacher_a), cl_only(cstate_a),
-                batch_spec(imgs_a),
+                jax.tree_util.tree_map(batch_spec, imgs_a),
                 jax.tree_util.tree_map(batch_spec, sample_a),
                 batch_spec(pos_a), batch_spec(valid_a),
                 cl_only(ctx_a), P("client"),
@@ -589,6 +618,7 @@ def make_stacked_local_round(
     donate: bool = True,
     augment_backend: str = "auto",
     scan_unroll: int = 1,
+    hoist_augment: bool = True,
 ):
     """Drop-in alternative to ``make_local_round`` (same round_fn signature)
     for algorithms providing a ``stacked_loss_fn``:
@@ -651,12 +681,38 @@ def make_stacked_local_round(
         global_vars = data["global_vars"]
         opt0 = tx.init(svars["params"])
 
+        imgs_all = plan["images"]
+        n_views = 1 if view_mode == "single" else 2
+        if (hoist_augment and not isinstance(imgs_all, dict)
+                and imgs_all.ndim == 6
+                and imgs_all.shape[0] * imgs_all.shape[1] * imgs_all.shape[2]
+                * n_views <= 4096):
+            # one batched warp over all S*K*B round images (see
+            # make_local_round's hoist note)
+            S_, K_, B_ = imgs_all.shape[:3]
+            flat = imgs_all.reshape((S_ * K_ * B_,) + imgs_all.shape[3:])
+            kh = jax.random.fold_in(plan["key"], 0x9A)
+            if view_mode == "single":
+                k1, _ = jax.random.split(kh)
+                vf = {"x": weak(flat, k1, mean, std)}
+            else:
+                k1, k2 = jax.random.split(kh)
+                x1 = weak(flat, k1, mean, std)
+                x2 = (weak(flat, k2, mean, std) if view_mode == "dual"
+                      else A.strong_augment_batch(flat, k2, mean, std))
+                vf = {"x1": x1, "x2": x2}
+            imgs_all = {
+                k: v.reshape((S_, K_, B_) + v.shape[1:])
+                for k, v in vf.items()
+            }
+
         def body(carry, xs):
             vars_s, opt, key, loss_sum, cnt = carry
             imgs, sample, step_pos, svalid = xs  # [K, B, ...]
             key, sub = jax.random.split(key)
             ka, kl = jax.random.split(sub)
-            views = augment_views(imgs, ka)
+            views = (dict(imgs) if isinstance(imgs, dict)
+                     else augment_views(imgs, ka))
             if needs_global:
                 views = global_logits(global_vars, views)
             sample = dict(sample)
@@ -686,7 +742,7 @@ def make_stacked_local_round(
 
         init = (svars, opt0, plan["key"], jnp.zeros((K,), jnp.float32),
                 jnp.zeros((K,), jnp.float32))
-        xs = (plan["images"], plan["sample"], pos, pos_valid)
+        xs = (imgs_all, plan["sample"], pos, pos_valid)
         (svars, _, _, loss_sum, cnt), _ = jax.lax.scan(
             body, init, xs, unroll=scan_unroll)
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)

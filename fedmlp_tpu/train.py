@@ -198,6 +198,7 @@ class Trainer:
                 donate=True,
                 augment_backend=cfg.data.augment_backend,
                 scan_unroll=cfg.scan_unroll,
+                hoist_augment=bool(cfg.hoist_augment),
             )
             log.info("engine: channel-stacked lockstep clients")
         else:
@@ -214,6 +215,7 @@ class Trainer:
                 mesh=self.round_mesh,
                 augment_backend=cfg.data.augment_backend,
                 scan_unroll=cfg.scan_unroll,
+                hoist_augment=bool(cfg.hoist_augment),
                 weight_stream_dtype=self.weight_stream_dtype,
             )
         self.server_state = (
