@@ -196,8 +196,10 @@ class Config:
     # are not sharded over a mesh; 'on'/'off' force it
     client_stacking: str = "auto"
     # engine: hoist augmentation out of the local-step scan into one
-    # batched warp over all S*K*B round images (when they fit)
-    hoist_augment: int = 1
+    # batched warp over all S*K*B round images (when they fit). Measured
+    # NEGATIVE on the bench round (2651 avg → 2485 img/s: materializing
+    # the f32 views costs more than the in-scan calls save) — default off.
+    hoist_augment: int = 0
     # engine: when compute_dtype is bfloat16, cast the f32 master weights
     # once per step so conv fusions stream bf16 (not f32) weights to VMEM.
     # Measured NEGATIVE on the bench round (2640 → 2388 img/s: the explicit

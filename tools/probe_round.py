@@ -33,6 +33,7 @@ VARIANTS = {
     "mapped": {"client_stacking": "off"},
     "nostream": {"client_stacking": "off", "weight_stream": 0},
     "fusedaug": {"client_stacking": "off", "augment_backend": "fused"},
+    "nohoist": {"client_stacking": "off", "hoist_augment": 0},
     "stacked": {"client_stacking": "on"},
     "stacked_unroll4": {"client_stacking": "on", "scan_unroll": 4},
 }
