@@ -127,7 +127,15 @@ def args_parser(argv=None):
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--augment_backend", type=str, default="auto",
-                   choices=["auto", "gather", "paeth", "pallas"])
+                   choices=["auto", "gather", "paeth", "pallas", "fused",
+                            "normonly"])
+    # engine knobs (defaults = measured-best configuration, BENCH_NOTES.md)
+    p.add_argument("--scan_unroll", type=int, default=1)
+    p.add_argument("--client_stacking", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="channel-stacked lockstep clients (models/stacked.py)")
+    p.add_argument("--hoist_augment", type=int, default=0)
+    p.add_argument("--weight_stream", type=int, default=0)
     p.add_argument("--synthetic_train_size", type=int, default=512)
     p.add_argument("--synthetic_test_size", type=int, default=128)
     return p.parse_args(argv)
@@ -180,6 +188,10 @@ def config_from_args(a) -> Config:
         eval_every=a.eval_every,
         checkpoint_every=a.checkpoint_every,
         compute_dtype=a.compute_dtype,
+        scan_unroll=a.scan_unroll,
+        client_stacking=a.client_stacking,
+        hoist_augment=a.hoist_augment,
+        weight_stream=a.weight_stream,
         output_dir=a.output_dir,
         exp_tag=a.exp_tag or f"{a.exp}_{a.dataset}",
         data=data,
