@@ -56,7 +56,7 @@ def make_round_fn(trainer):
         mesh=trainer.round_mesh,
         augment_backend=trainer.cfg.data.augment_backend,
         scan_unroll=trainer.cfg.scan_unroll,
-            hoist_augment=bool(trainer.cfg.hoist_augment),
+        hoist_augment=bool(trainer.cfg.hoist_augment),
         weight_stream_dtype=trainer.weight_stream_dtype,
     )
 
