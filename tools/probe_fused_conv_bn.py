@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""A/B the fused conv1x1+BN-stats prototype against XLA's conv → stats
+pair on the bench round's hottest pointwise shape (block1_0 expand:
+[32·112·112, 16] @ [16, 96]). Looped scan timing (see probe_stacked.py);
+read-back sync."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ITERS = 24
+
+
+def sync(tree):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fedmlp_tpu.ops.fused_conv_bn import conv1x1_bn_stats
+
+    results = {"platform": jax.devices()[0].platform, "iters": ITERS}
+    rs = np.random.RandomState(0)
+    for M, Ci, Co in ((32 * 112 * 112, 16, 96), (32 * 56 * 56, 24, 144),
+                      (32 * 14 * 14, 80, 480)):
+        x = jnp.asarray(rs.randn(M, Ci), jnp.bfloat16)
+        w = jnp.asarray(rs.randn(Ci, Co), jnp.bfloat16)
+
+        @jax.jit
+        def xla_pair(x, w):
+            def body(carry, _):
+                x, w = carry
+                y = jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+                yf = y.astype(jnp.float32)
+                s = yf.sum(0)
+                ss = (yf * yf).sum(0)
+                w2 = w + 1e-9 * jnp.outer(x[0, :].astype(w.dtype),
+                                          y[0, :].astype(w.dtype)) \
+                    + (1e-12 * ss.sum()).astype(w.dtype)
+                return (x, w2), s[0]
+
+            (_, w_out), out = jax.lax.scan(body, (x, w), None, length=ITERS)
+            return out.sum(), w_out
+
+        @jax.jit
+        def fused(x, w):
+            def body(carry, _):
+                x, w = carry
+                y, s, ss = conv1x1_bn_stats(x, w, interpret=False)
+                w2 = w + 1e-9 * jnp.outer(x[0, :].astype(w.dtype),
+                                          y[0, :].astype(w.dtype)) \
+                    + (1e-12 * ss.sum()).astype(w.dtype)
+                return (x, w2), s[0]
+
+            (_, w_out), out = jax.lax.scan(body, (x, w), None, length=ITERS)
+            return out.sum(), w_out
+
+        tag = f"M{M}_{Ci}to{Co}"
+        results[f"{tag}_xla_ms"] = round(timeit(xla_pair, x, w) * 1e3 / ITERS, 3)
+        results[f"{tag}_fused_ms"] = round(timeit(fused, x, w) * 1e3 / ITERS, 3)
+        print(json.dumps({k: v for k, v in results.items() if tag in k}),
+              flush=True)
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
