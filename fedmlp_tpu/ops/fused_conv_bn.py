@@ -41,14 +41,23 @@ def _kernel(x_ref, w_ref, y_ref, sum_ref, ssq_ref, *, n_tiles):
     ssq_ref[:] += jnp.sum(y * y, axis=0, keepdims=True)
 
 
-def conv1x1_bn_stats(x2d, w, tile_m: int = 1024,
+def conv1x1_bn_stats(x2d, w, tile_m: int | None = None,
                      interpret: bool | None = None):
     """x2d [M, Ci] · w [Ci, Co] → (y [M, Co] in x2d.dtype,
-    channel_sum [Co] f32, channel_sumsq [Co] f32). M % tile_m == 0."""
+    channel_sum [Co] f32, channel_sumsq [Co] f32).
+
+    tile_m defaults to the largest divisor of M that is ≤ 1024 and a
+    multiple of 8 (sublane-aligned); pass explicitly to override."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     M, Ci = x2d.shape
     Co = w.shape[1]
+    if tile_m is None:
+        tile_m = 8
+        for t in range(1024, 7, -8):
+            if M % t == 0:
+                tile_m = t
+                break
     assert M % tile_m == 0, (M, tile_m)
     n_tiles = M // tile_m
     kernel = functools.partial(_kernel, n_tiles=n_tiles)
