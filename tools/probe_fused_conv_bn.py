@@ -84,9 +84,44 @@ def main():
             (_, w_out), out = jax.lax.scan(body, (x, w), None, length=ITERS)
             return out.sum(), w_out
 
+        scale = jnp.asarray(rs.rand(Co) + 0.5, jnp.float32)
+        bias = jnp.asarray(rs.randn(Co), jnp.float32)
+
+        @jax.jit
+        def xla_full(x, w):
+            def body(carry, _):
+                x, w = carry
+                y = jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+                yf = y.astype(jnp.float32)
+                m = yf.mean(0)
+                v = jnp.maximum((yf * yf).mean(0) - m * m, 0.0)
+                z = (yf - m) * jax.lax.rsqrt(v + 1e-3) * scale + bias
+                out = (z * jax.nn.sigmoid(z)).astype(x.dtype)
+                w2 = w + 1e-9 * jnp.outer(x[0, :].astype(w.dtype), out[0, :])
+                return (x, w2), m[0]
+
+            (_, w_out), out = jax.lax.scan(body, (x, w), None, length=ITERS)
+            return out.sum(), w_out
+
+        @jax.jit
+        def fused_2pass(x, w):
+            from fedmlp_tpu.ops.fused_conv_bn import conv1x1_bn_act_2pass
+
+            def body(carry, _):
+                x, w = carry
+                out, m, v = conv1x1_bn_act_2pass(x, w, scale, bias,
+                                                 interpret=False)
+                w2 = w + 1e-9 * jnp.outer(x[0, :].astype(w.dtype), out[0, :])
+                return (x, w2), m[0]
+
+            (_, w_out), out = jax.lax.scan(body, (x, w), None, length=ITERS)
+            return out.sum(), w_out
+
         tag = f"M{M}_{Ci}to{Co}"
         results[f"{tag}_xla_ms"] = round(timeit(xla_pair, x, w) * 1e3 / ITERS, 3)
         results[f"{tag}_fused_ms"] = round(timeit(fused, x, w) * 1e3 / ITERS, 3)
+        results[f"{tag}_xlafull_ms"] = round(timeit(xla_full, x, w) * 1e3 / ITERS, 3)
+        results[f"{tag}_fused2p_ms"] = round(timeit(fused_2pass, x, w) * 1e3 / ITERS, 3)
         print(json.dumps({k: v for k, v in results.items() if tag in k}),
               flush=True)
 
