@@ -37,6 +37,22 @@ def timeit(fn, *args, reps=5):
     return float(np.median(ts))
 
 
+def timeit_interleaved(fns, args, reps=7):
+    """Alternate the candidates rep-by-rep so slice-weather drift hits
+    them equally (single-shot A-then-B orderings measured ±30% flips
+    between sessions)."""
+    for fn in fns:
+        sync(fn(*args))
+    ts = [[] for _ in fns]
+    for _ in range(reps):
+        for i, fn in enumerate(fns):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            sync(out)
+            ts[i].append(time.perf_counter() - t0)
+    return [float(np.median(t)) for t in ts]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -118,10 +134,12 @@ def main():
             return out.sum(), w_out
 
         tag = f"M{M}_{Ci}to{Co}"
-        results[f"{tag}_xla_ms"] = round(timeit(xla_pair, x, w) * 1e3 / ITERS, 3)
-        results[f"{tag}_fused_ms"] = round(timeit(fused, x, w) * 1e3 / ITERS, 3)
-        results[f"{tag}_xlafull_ms"] = round(timeit(xla_full, x, w) * 1e3 / ITERS, 3)
-        results[f"{tag}_fused2p_ms"] = round(timeit(fused_2pass, x, w) * 1e3 / ITERS, 3)
+        t_xla, t_fused, t_full, t_2p = timeit_interleaved(
+            (xla_pair, fused, xla_full, fused_2pass), (x, w))
+        results[f"{tag}_xla_ms"] = round(t_xla * 1e3 / ITERS, 3)
+        results[f"{tag}_fused_ms"] = round(t_fused * 1e3 / ITERS, 3)
+        results[f"{tag}_xlafull_ms"] = round(t_full * 1e3 / ITERS, 3)
+        results[f"{tag}_fused2p_ms"] = round(t_2p * 1e3 / ITERS, 3)
         print(json.dumps({k: v for k, v in results.items() if tag in k}),
               flush=True)
 
