@@ -57,7 +57,8 @@ class DataConfig:
     std: Tuple[float, float, float] = IMAGENET_STD
     # weak-view warp backend: 'auto' (pallas on TPU, gather elsewhere),
     # 'gather' (single-pass bilinear, XLA gathers), 'paeth' (3-shear
-    # take_along_axis), 'pallas' (3-shear roll kernel). On TPU the gather
+    # take_along_axis), 'pallas' (3-shear roll kernel), 'fused' (single
+    # fused kernel), 'normonly' (diagnostic, no warp). On TPU the gather
     # warp dominates the round program (~5x throughput difference).
     augment_backend: str = "auto"
     # stream image batches from the packed .npy on disk via the native

@@ -10,7 +10,8 @@ Here one federated round is ONE compiled XLA program:
     [S, K, B] into each client's padded index table, with validity masks
     standing in for ragged batches;
   * each step gathers uint8 images from the device-resident dataset,
-    augments both views on device, and runs a vmapped grad step over K;
+    augments the views on device, and runs the per-client grad steps
+    (lax.map over K — or channel-stacked lockstep, models/stacked.py);
   * server aggregation is a weighted reduction over the client axis.
 
 Parity notes vs the reference:
