@@ -122,19 +122,26 @@ def stacked_loss_fn(params, rest, model, views, sample, svalid, ctx, rng,
 
 def stage2_loss_fn(params, rest, model, views, sample, svalid, ctx, cstate,
                    rng, scalars):
+    # stage 2 trains ONE view (reference :1176-1188); the engine runs
+    # view_mode='single' so the discarded second weak augmentation of the
+    # dual pipeline is never computed. 'x1' is accepted for compatibility
+    # with dual-view callers (bitwise-identical tensor: both derive from
+    # the first split of the step key).
     labels = sample["labels"]
     supmask = sample["supmask"]  # [B, C] — active ∪ tagged classes
-    _, logits1, rest1 = apply_train(model, params, rest, views["x1"], rng)
+    x1 = views["x"] if "x" in views else views["x1"]
+    _, logits1, rest1 = apply_train(model, params, rest, x1, rng)
     p1 = jax.nn.sigmoid(logits1)
     cell = supmask * svalid.astype(supmask.dtype)[:, None]
     sup = L.bce_on_probs(p1, labels) * cell
     loss = sup.sum() / jnp.maximum(cell.sum(), 1.0)
-    if "g_logits1" in views:
+    glog = views.get("g_logits", views.get("g_logits1"))
+    if glog is not None:
         # paper-behavior distillation term (released code comments it out,
         # reference :1187-1188); only traced when cfg.fedmlp.stage2_distill
         # — a jnp.where would force the frozen-global forward every step
         dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[:, None]
-        g1 = jax.nn.sigmoid(views["g_logits1"])
+        g1 = jax.nn.sigmoid(glog)
         dis = ((p1 - g1) ** 2) * dcell
         denom = jnp.maximum(cell.sum() + dcell.sum(), 1.0)
         loss = (sup.sum() + dis.sum()) / denom
@@ -148,8 +155,9 @@ def stage2_stacked_loss_fn(params, rest, model, views, sample, svalid, ctx,
 
     labels = sample["labels"]  # [K, B, C]
     supmask = sample["supmask"]
+    x1 = views["x"] if "x" in views else views["x1"]
     (_, logits1), st1 = stacked_apply(
-        model, {"params": params, **rest}, views["x1"], train=True, rng=rng)
+        model, {"params": params, **rest}, x1, train=True, rng=rng)
     rest1 = dict(rest)
     if st1 is not None:
         rest1["batch_stats"] = st1
@@ -158,9 +166,10 @@ def stage2_stacked_loss_fn(params, rest, model, views, sample, svalid, ctx,
     sup = L.bce_on_probs(p1, labels) * cell
     denom = jnp.maximum(cell.sum(axis=(1, 2)), 1.0)
     loss_k = sup.sum(axis=(1, 2)) / denom
-    if "g_logits1" in views:
+    glog = views.get("g_logits", views.get("g_logits1"))
+    if glog is not None:
         dcell = (1.0 - supmask) * svalid.astype(supmask.dtype)[..., None]
-        g1 = jax.nn.sigmoid(views["g_logits1"])
+        g1 = jax.nn.sigmoid(glog)
         dis = ((p1 - g1) ** 2) * dcell
         denom = jnp.maximum(cell.sum(axis=(1, 2)) + dcell.sum(axis=(1, 2)),
                             1.0)
@@ -181,7 +190,8 @@ def stage2_mixup_loss_fn(params, rest, model, views, sample, svalid, ctx,
     labels = sample["labels"]
     supmask = sample["supmask"]
     kmix, kdrop = jax.random.split(rng)
-    mixed, perm, lam = mixup_images(views["x1"], kmix)
+    x1 = views["x"] if "x" in views else views["x1"]
+    mixed, perm, lam = mixup_images(x1, kmix)
     _, logits1, rest1 = apply_train(model, params, rest, mixed, kdrop)
     p1 = jax.nn.sigmoid(logits1)
     sv = svalid.astype(supmask.dtype)
@@ -312,6 +322,7 @@ def _get_harvest(trainer):
         trainer._fedmlp_harvest = rt.make_harvest_fn(
             trainer.model, trainer.cfg.data.mean, trainer.cfg.data.std,
             batch_size=trainer.cfg.batch_size * 4,
+            mesh=trainer.round_mesh,
         )
     return trainer._fedmlp_harvest
 
@@ -326,12 +337,33 @@ def _get_stage2_fn(trainer):
                 batch_size=trainer.cfg.batch_size,
                 mean=trainer.cfg.data.mean,
                 std=trainer.cfg.data.std,
-                view_mode="dual",
+                # stage 2 trains on one view (reference :1176-1188); the
+                # single view == the dual pipeline's view 1 bitwise
+                view_mode="single",
                 needs_global=trainer.cfg.fedmlp.stage2_distill,
                 donate=True,
                 augment_backend=trainer.cfg.data.augment_backend,
                 scan_unroll=trainer.cfg.scan_unroll,
                 hoist_augment=bool(trainer.cfg.hoist_augment),
+            )
+            return trainer._fedmlp_stage2_fn
+        if trainer._use_lockstep() and not trainer.cfg.fedmlp.mixup:
+            # lockstep order: with stage2_distill the frozen-global forward
+            # batches at K·B; without it the engine still batches the
+            # augmentation call across clients
+            trainer._fedmlp_stage2_fn = rt.make_lockstep_local_round(
+                trainer.model,
+                stage2_loss_fn,
+                lr=trainer.cfg.base_lr,
+                batch_size=trainer.cfg.batch_size,
+                mean=trainer.cfg.data.mean,
+                std=trainer.cfg.data.std,
+                view_mode="single",
+                needs_global=trainer.cfg.fedmlp.stage2_distill,
+                donate=True,
+                mesh=trainer.round_mesh,
+                augment_backend=trainer.cfg.data.augment_backend,
+                scan_unroll=trainer.cfg.scan_unroll,
             )
             return trainer._fedmlp_stage2_fn
         trainer._fedmlp_stage2_fn = rt.make_local_round(
@@ -342,9 +374,11 @@ def _get_stage2_fn(trainer):
             batch_size=trainer.cfg.batch_size,
             mean=trainer.cfg.data.mean,
             std=trainer.cfg.data.std,
-            # stage 2 trains on view 1 only (reference :1176-1188); the
-            # frozen-global forward exists only for the optional distill term
-            view_mode="dual",
+            # stage 2 trains on view 1 only (reference :1176-1188) — the
+            # dual pipeline's second weak augmentation was discarded, so
+            # run single-view; the frozen-global forward exists only for
+            # the optional distill term
+            view_mode="single",
             needs_global=trainer.cfg.fedmlp.stage2_distill,
             donate=True,
             mesh=trainer.round_mesh,

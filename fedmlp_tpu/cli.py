@@ -136,6 +136,10 @@ def args_parser(argv=None):
                    help="channel-stacked lockstep clients (models/stacked.py)")
     p.add_argument("--hoist_augment", type=int, default=0)
     p.add_argument("--weight_stream", type=int, default=0)
+    p.add_argument("--batched_global", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="lockstep loop order: frozen-global forwards batched"
+                        " across clients at K·B (NEEDS_GLOBAL algorithms)")
     p.add_argument("--synthetic_train_size", type=int, default=512)
     p.add_argument("--synthetic_test_size", type=int, default=128)
     return p.parse_args(argv)
@@ -192,6 +196,7 @@ def config_from_args(a) -> Config:
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,
         weight_stream=a.weight_stream,
+        batched_global=a.batched_global,
         output_dir=a.output_dir,
         exp_tag=a.exp_tag or f"{a.exp}_{a.dataset}",
         data=data,

@@ -193,9 +193,18 @@ class Config:
     # and code size for less while-loop bookkeeping + cross-step scheduling)
     scan_unroll: int = 1
     # engine: channel-stacked lockstep clients (models/stacked.py) — 'auto'
-    # enables it on TPU when the algorithm + model support it and clients
-    # are not sharded over a mesh; 'on'/'off' force it
+    # currently resolves OFF (the mapped lax.map engine measured faster
+    # end-to-end: BN rides XLA's conv fusions there, BENCH_NOTES.md) and
+    # will only engage once a stacked A/B wins; 'on'/'off' force it
     client_stacking: str = "auto"
+    # engine: lockstep loop order (scan over local steps outside, lax.map
+    # over clients inside — parallel/fl_runtime.py::
+    # make_lockstep_local_round) so the frozen-global forwards of
+    # NEEDS_GLOBAL algorithms (FedMLP stage-1 runs two per step, reference
+    # utils/local_training.py:943-947) batch across clients at K·B, and
+    # augmentation runs as one K·B call per step. 'auto' engages on TPU
+    # for NEEDS_GLOBAL algorithms; 'on'/'off' force it.
+    batched_global: str = "auto"
     # engine: hoist augmentation out of the local-step scan into one
     # batched warp over all S*K*B round images (when they fit). Measured
     # NEGATIVE on the bench round (2651 avg → 2485 img/s: materializing

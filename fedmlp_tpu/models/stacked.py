@@ -239,6 +239,12 @@ def _batchnorm(x, scale_k, bias_k, stats_k, train, momentum, eps, dtype):
     bias = bias_k.reshape(KC).astype(jnp.float32)
     if train:
         y, mean, var = _bn_train_core(x.astype(dtype), scale, bias, eps)
+        # the custom VJP ignores the stats cotangents (see contract above);
+        # make that non-differentiability explicit in the graph so a future
+        # caller differentiating a stats-derived loss gets zeros by
+        # construction instead of silently wrong gradients
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
         kshape = stats_k["mean"].shape
         new_stats = {
             "mean": momentum * stats_k["mean"] + (1 - momentum) * mean.reshape(kshape),

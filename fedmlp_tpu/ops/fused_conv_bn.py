@@ -84,6 +84,7 @@ def conv1x1_bn_act_2pass(x2d, w, scale, bias, eps: float = 1e-3,
             if M % t == 0:
                 tile_m = t
                 break
+    assert M % tile_m == 0, (M, tile_m)
     n_tiles = M // tile_m
     vm = pl.ANY if interpret else pltpu.VMEM
     s, ss = pl.pallas_call(

@@ -276,7 +276,8 @@ def make_local_round(
     augment_backend: str = "auto",  # 'auto'|'gather'|'paeth'|'pallas'|'normonly'
     scan_unroll: int = 1,  # lax.scan unroll factor for the local-step loop
     weight_stream_dtype=None,  # cast f32 params once per step for compute
-    hoist_augment: bool = True,  # batch the round's augmentation pre-scan
+    hoist_augment: bool = False,  # batch the round's augmentation pre-scan
+    # (measured NEGATIVE on the bench round, BENCH_NOTES — default off)
 ):
     """Build a jitted function running S local steps for ALL clients.
 
@@ -619,7 +620,7 @@ def make_stacked_local_round(
     donate: bool = True,
     augment_backend: str = "auto",
     scan_unroll: int = 1,
-    hoist_augment: bool = True,
+    hoist_augment: bool = False,
 ):
     """Drop-in alternative to ``make_local_round`` (same round_fn signature)
     for algorithms providing a ``stacked_loss_fn``:
@@ -753,18 +754,199 @@ def make_stacked_local_round(
 
 
 # ----------------------------------------------------------------------
+# Lockstep mapped round: scan over the S local steps OUTSIDE, lax.map over
+# the K clients INSIDE each step. Training math is identical to
+# make_local_round (plain per-client flax applies — no stacked BN), but the
+# loop order lets the per-step shared work batch across clients:
+#   * ONE augmentation call over K·B images instead of K calls at B;
+#   * the frozen-global forwards (identical weights for every client —
+#     FedMLP stage-1 runs two per step, reference
+#     utils/local_training.py:943-947) run ONCE at batch K·B instead of
+#     K times at batch B, K-filling the MXU for the flagship's dominant
+#     non-gradient compute.
+# RNG stream differs from the mapped engine (one step key → per-client
+# split, vs per-client keys split per step); semantics are otherwise
+# identical (tests/test_lockstep_round.py).
+# ----------------------------------------------------------------------
+
+
+def make_lockstep_local_round(
+    model,
+    loss_fn: LossFn,
+    *,
+    lr: float,
+    batch_size: int,
+    mean,
+    std,
+    view_mode: str = "dual",
+    needs_global: bool = True,
+    weight_decay: float = 5e-4,
+    donate: bool = True,
+    mesh=None,  # Mesh with a 'client' axis (data axis must be 1)
+    augment_backend: str = "auto",
+    scan_unroll: int = 1,
+):
+    """Drop-in alternative to ``make_local_round`` for algorithms without
+    teacher/cstate/post_step hooks (FedMLP stage-1/stage-2, FedNoRo).
+    Same ``round_fn(state, data, plan, scalars)`` signature; ``state`` must
+    contain only ``vars``."""
+    tx = torch_adam(lr, weight_decay)
+
+    if augment_backend == "auto":
+        augment_backend = (
+            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+        )
+    weak = _pick_weak_backend(augment_backend)
+
+    def augment_flat(flat_u8, key):
+        """One augmentation call over all K·B step images."""
+        if view_mode == "single":
+            k1, _ = jax.random.split(key)
+            return {"x": weak(flat_u8, k1, mean, std)}
+        k1, k2 = jax.random.split(key)
+        x1 = weak(flat_u8, k1, mean, std)
+        if view_mode == "dual":
+            x2 = weak(flat_u8, k2, mean, std)
+        else:
+            x2 = A.strong_augment_batch(flat_u8, k2, mean, std)
+        return {"x1": x1, "x2": x2}
+
+    def round_fn(state, data, plan, scalars):
+        assert set(state) == {"vars"}, (
+            "lockstep round supports plain-vars algorithms only"
+        )
+        pos, pos_valid = plan["pos"], plan["pos_valid"]  # [S, K, B]
+        K = pos.shape[1]
+        svars = state["vars"]
+        ctx = data["ctx"]
+        global_vars = data["global_vars"]
+        imgs_all = plan["images"]
+        assert not isinstance(imgs_all, dict), (
+            "lockstep round augments in-step; pre-augmented views unsupported"
+        )
+
+        n_cl_shards = mesh.shape["client"] if mesh is not None else 1
+        use_shard_map = (
+            mesh is not None and n_cl_shards > 1 and K % n_cl_shards == 0
+            and mesh.shape.get("data", 1) == 1
+        )
+        client_axis = "client" if use_shard_map else None
+
+        def scan_round(svars, imgs_all, sample_all, pos, pos_valid,
+                       ctx, keys0):
+            Kl = pos.shape[1]  # local client count (K / shards under mesh)
+            # per-client Adam state (vmapped init so EVERY leaf — including
+            # the scalar step count — carries the leading client axis that
+            # the per-step lax.map iterates over); initialized inside
+            # shard_map so nothing here needs a PartitionSpec
+            opt0 = jax.vmap(tx.init)(svars["params"])
+
+            def body(carry, xs):
+                vars_s, opt_s, key, it, loss_sum, cnt = carry
+                imgs_s, sample_s, pos_s, valid_s = xs  # [Kl, B, ...]
+                key, sub = jax.random.split(key)
+                if client_axis is not None:
+                    # distinct augmentation/loss streams per client shard
+                    sub = jax.random.fold_in(
+                        sub, jax.lax.axis_index(client_axis))
+                ka, kg = jax.random.split(sub)
+                B = imgs_s.shape[1]
+                flat = imgs_s.reshape((Kl * B,) + imgs_s.shape[2:])
+                views_flat = augment_flat(flat, ka)
+                if needs_global:
+                    # ONE frozen-global forward per view at batch Kl·B
+                    for name, v in list(views_flat.items()):
+                        _, glog = model.apply(global_vars, v, train=False)
+                        suffix = name[1:] if name != "x" else ""
+                        views_flat[f"g_logits{suffix}"] = glog
+                views_k = {
+                    k: v.reshape((Kl, B) + v.shape[1:])
+                    for k, v in views_flat.items()
+                }
+                kls = jax.random.split(kg, Kl)
+                sample_s = dict(sample_s)
+                sample_s["_pos"] = pos_s
+
+                def one(args):
+                    vars_k, opt_k, views_kk, sample_k, svalid_k, ctx_k, kl = args
+                    params = vars_k["params"]
+                    rest = {k: v for k, v in vars_k.items() if k != "params"}
+
+                    def lf(p):
+                        return loss_fn(p, rest, model, views_kk, sample_k,
+                                       svalid_k, ctx_k, jnp.zeros((0,)), kl,
+                                       scalars)
+
+                    (loss, (new_rest, _aux)), grads = jax.value_and_grad(
+                        lf, has_aux=True)(params)
+                    updates, new_opt = tx.update(grads, opt_k, params)
+                    has_any = (svalid_k.sum() > 0).astype(jnp.float32)
+                    updates = jax.tree_util.tree_map(
+                        lambda u: u * has_any, updates)
+                    new_params = optax.apply_updates(params, updates)
+                    new_vars = dict(new_rest)
+                    new_vars["params"] = new_params
+                    return new_vars, new_opt, loss * has_any, has_any
+
+                vars_s, opt_s, loss, has_any = jax.lax.map(
+                    one, (vars_s, opt_s, views_k, sample_s, valid_s, ctx, kls)
+                )
+                return (vars_s, opt_s, key, it + 1.0, loss_sum + loss,
+                        cnt + has_any), None
+
+            init = (svars, opt0, keys0, plan["iter0"],
+                    jnp.zeros((Kl,), jnp.float32), jnp.zeros((Kl,), jnp.float32))
+            xs = (imgs_all, sample_all, pos, pos_valid)
+            (svars, _, _, _, loss_sum, cnt), _ = jax.lax.scan(
+                body, init, xs, unroll=scan_unroll)
+            mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
+            return svars, mean_loss
+
+        args = (svars, imgs_all, plan["sample"], pos, pos_valid, ctx,
+                plan["key"])
+        if use_shard_map:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            cl = lambda t: jax.tree_util.tree_map(lambda _: P("client"), t)
+            step_cl = lambda t: jax.tree_util.tree_map(
+                lambda _: P(None, "client"), t)  # [S, K, ...] tensors
+            spec = (cl(svars), step_cl(imgs_all),
+                    step_cl(plan["sample"]), P(None, "client"),
+                    P(None, "client"), cl(ctx), P())
+            out_spec = (cl(svars), P("client"))
+            svars, mean_loss = shard_map(
+                scan_round, mesh=mesh, in_specs=spec, out_specs=out_spec,
+                check_rep=False,
+            )(*args)
+        else:
+            svars, mean_loss = scan_round(*args)
+        return {"vars": svars}, mean_loss, {}
+
+    return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+
+
+# ----------------------------------------------------------------------
 # Full-dataset harvest: per-client features + probs over the padded table
 # (FedMLP prototype/τ extraction passes, reference:
 #  utils/local_training.py:971-1002, 1023-1049, 1208-1250 — the reference
 #  re-walks its DataLoader; here it is one scanned, vmapped forward)
 # ----------------------------------------------------------------------
 
-def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True):
+def make_harvest_fn(model, mean, std, batch_size: int,
+                    augment_weak: bool = True, mesh=None):
     """Build jit fn: (stacked_vars, images, idx[K,M], key) →
     (features [K, M, D], probs [K, M, C]).
 
     ``augment_weak`` matches the reference's use of the image_aug_1 weak
-    view for prototype extraction (utils/local_training.py:982)."""
+    view for prototype extraction (utils/local_training.py:982).
+
+    ``mesh`` (a Mesh with a 'client' axis) shards the per-client forward
+    sweep: each device scans its LOCAL clients' chunks under shard_map —
+    a bare lax.map over a client-sharded axis would all-gather and
+    serialize the extraction passes (the FedMLP stage transitions,
+    reference utils/local_training.py:971-1002/1023-1049, would otherwise
+    defeat client parallelism every round)."""
 
     def one_batch(vars_k, imgs_u8, key):
         if augment_weak:
@@ -783,25 +965,44 @@ def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True
         gidx = idx_p.reshape(K, nb, batch_size)
         return images[gidx]  # [K, nb, B, H, W, 3]
 
+    def one_client(args):
+        vars_k, chunks_k, key_k = args
+
+        def body(key, imgs):
+            key, sub = jax.random.split(key)
+            f, p = one_batch(vars_k, imgs, sub)
+            return key, (f, p)
+
+        _, (feats, probs) = jax.lax.scan(body, key_k, chunks_k)
+        return feats, probs  # [nb, B, D], [nb, B, C]
+
     @jax.jit
     def forward_chunks(stacked_vars, chunks, key):
         # lax.map over clients (unbatched weights — see make_local_round)
         K = chunks.shape[0]
         keys = jax.random.split(key, K)
-
-        def one_client(args):
-            vars_k, chunks_k, key_k = args
-
-            def body(key, imgs):
-                key, sub = jax.random.split(key)
-                f, p = one_batch(vars_k, imgs, sub)
-                return key, (f, p)
-
-            _, (feats, probs) = jax.lax.scan(body, key_k, chunks_k)
-            return feats, probs  # [nb, B, D], [nb, B, C]
-
         feats, probs = jax.lax.map(one_client, (stacked_vars, chunks, keys))
         return feats, probs  # [K, nb, B, ...]
+
+    @jax.jit
+    def forward_chunks_sharded(stacked_vars, chunks, key):
+        # shard_map over the client axis: each device scans its local
+        # clients; no collective needed (outputs stay client-sharded)
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        K = chunks.shape[0]
+        keys = jax.random.split(key, K)
+        cl = lambda t: jax.tree_util.tree_map(lambda _: P("client"), t)
+
+        def local(sv, ch, ks):
+            return jax.lax.map(one_client, (sv, ch, ks))
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(cl(stacked_vars), P("client"), P("client")),
+            out_specs=(P("client"), P("client")), check_rep=False,
+        )(stacked_vars, chunks, keys)
 
     @jax.jit
     def forward_one_chunk(stacked_vars, chunk_imgs, key):
@@ -823,9 +1024,14 @@ def make_harvest_fn(model, mean, std, batch_size: int, augment_weak: bool = True
         device forward — the dataset never materializes in HBM."""
         K, M = idx.shape
         nb = (M + batch_size - 1) // batch_size
+        use_mesh = (
+            mesh is not None and mesh.shape.get("client", 1) > 1
+            and K % mesh.shape["client"] == 0
+        )
         if images is not None:
             chunks = gather_chunks(images, idx)
-            feats, probs = forward_chunks(stacked_vars, chunks, key)
+            fwd_fn = forward_chunks_sharded if use_mesh else forward_chunks
+            feats, probs = fwd_fn(stacked_vars, chunks, key)
         else:
             assert loader is not None, "host-stream harvest needs a loader"
             idx_np = np.asarray(idx)

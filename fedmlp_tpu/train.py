@@ -201,6 +201,23 @@ class Trainer:
                 hoist_augment=bool(cfg.hoist_augment),
             )
             log.info("engine: channel-stacked lockstep clients")
+        elif self._use_lockstep():
+            self.round_fn = rt.make_lockstep_local_round(
+                self.model,
+                self.algo.loss_fn,
+                lr=cfg.base_lr,
+                batch_size=cfg.batch_size,
+                mean=cfg.data.mean,
+                std=cfg.data.std,
+                view_mode=self.algo.VIEW_MODE,
+                needs_global=True,
+                donate=True,
+                mesh=self.round_mesh,
+                augment_backend=cfg.data.augment_backend,
+                scan_unroll=cfg.scan_unroll,
+            )
+            log.info("engine: lockstep mapped clients (K·B-batched "
+                     "frozen-global forwards)")
         else:
             self.round_fn = rt.make_local_round(
                 self.model,
@@ -241,8 +258,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _use_stacked(self) -> bool:
         """Channel-stacked lockstep clients (models/stacked.py): 'auto'
-        engages on TPU for supported (algorithm, model) pairs when clients
-        are not sharded over a mesh; 'on' forces it anywhere."""
+        currently resolves OFF — the mapped engine measured faster
+        end-to-end (BENCH_NOTES.md) — and only a winning A/B will flip it;
+        'on' forces stacking for supported (algorithm, model, no-mesh)
+        combinations."""
         from fedmlp_tpu.models.stacked import supports_stacking
 
         mode = self.cfg.client_stacking
@@ -263,6 +282,25 @@ class Trainer:
         # on TPU (first A/B: 2120 vs 2643 img/s — pointwise layout work in
         # progress, see BENCH_NOTES.md)
         return False
+
+    def _use_lockstep(self) -> bool:
+        """Lockstep loop order (batched frozen-global forwards): 'auto'
+        engages on TPU for NEEDS_GLOBAL algorithms when there is no
+        per-client data-axis sharding; 'on' forces it anywhere."""
+        mode = self.cfg.batched_global
+        if mode == "off":
+            return False
+        ok = (
+            getattr(self.algo, "NEEDS_GLOBAL", False)
+            and (self.mesh is None or self.mesh.shape.get("data", 1) == 1)
+        )
+        if mode == "on":
+            if not ok:
+                raise ValueError(
+                    "batched_global='on' needs a NEEDS_GLOBAL algorithm "
+                    "and no data-axis sharding")
+            return True
+        return ok and jax.devices()[0].platform == "tpu"
 
     # ------------------------------------------------------------------
     def client_ctx(self) -> dict:

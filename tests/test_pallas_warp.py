@@ -126,3 +126,31 @@ def test_roll_shift_sign_semantics():
         ref = hshift_rows_jnp(planar, shifts)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_roll_call_sites_are_mod_normalized():
+    """Lint-style guard for the negative-roll Mosaic miscompile: compiled
+    TPU mis-lowers NEGATIVE traced pltpu.roll shifts (interpret mode is
+    fine, so a behavioral CI test cannot catch a regression off-TPU).
+    Statically require every pltpu.roll call site in ops/ to pass a shift
+    that is either a jnp.mod(...) expression inline or a local name whose
+    every assignment is a jnp.mod(...) expression."""
+    import re
+    import pathlib
+
+    import fedmlp_tpu.ops as ops_pkg
+
+    ops_dir = pathlib.Path(ops_pkg.__file__).parent
+    call_re = re.compile(r"pltpu\.roll\(\s*([^,]+),\s*([^,]+),")
+    for path in sorted(ops_dir.glob("*.py")):
+        src = path.read_text()
+        # names assigned from a jnp.mod(...) expression anywhere in the file
+        mod_names = set(re.findall(r"(\w+)\s*=\s*jnp\.mod\(", src))
+        for m in call_re.finditer(src):
+            shift = m.group(2).strip()
+            ok = "mod(" in shift or shift in mod_names
+            assert ok, (
+                f"{path.name}: pltpu.roll shift {shift!r} is not "
+                "mod-normalized — negative traced shifts miscompile on TPU "
+                "(see _hshift_kernel)"
+            )
