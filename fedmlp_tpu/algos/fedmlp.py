@@ -323,6 +323,7 @@ def _get_harvest(trainer):
             trainer.model, trainer.cfg.data.mean, trainer.cfg.data.std,
             batch_size=trainer.cfg.batch_size * 4,
             mesh=trainer.round_mesh,
+            augment_backend=trainer.cfg.data.augment_backend,
         )
     return trainer._fedmlp_harvest
 

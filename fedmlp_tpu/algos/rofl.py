@@ -191,6 +191,8 @@ def _get_round_fn(trainer):
         trainer._rofl_harvest = rt.make_harvest_fn(
             trainer.model, trainer.cfg.data.mean, trainer.cfg.data.std,
             batch_size=trainer.cfg.batch_size * 4,
+            mesh=trainer.round_mesh,
+            augment_backend=trainer.cfg.data.augment_backend,
         )
     return trainer._rofl_round_fn
 

@@ -934,7 +934,8 @@ def make_lockstep_local_round(
 # ----------------------------------------------------------------------
 
 def make_harvest_fn(model, mean, std, batch_size: int,
-                    augment_weak: bool = True, mesh=None):
+                    augment_weak: bool = True, mesh=None,
+                    augment_backend: str = "auto"):
     """Build jit fn: (stacked_vars, images, idx[K,M], key) →
     (features [K, M, D], probs [K, M, C]).
 
@@ -948,9 +949,18 @@ def make_harvest_fn(model, mean, std, batch_size: int,
     reference utils/local_training.py:971-1002/1023-1049, would otherwise
     defeat client parallelism every round)."""
 
+    if augment_backend == "auto":
+        augment_backend = (
+            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+        )
+    weak = _pick_weak_backend(augment_backend)
+
     def one_batch(vars_k, imgs_u8, key):
         if augment_weak:
-            x = A.weak_augment_batch(imgs_u8, key, mean, std)
+            # Pallas warp on TPU — the gather warp is ~5x slower there and
+            # a stage-2 round harvests the FULL local dataset twice
+            # (reference :1023-1049, :1208-1250)
+            x = weak(imgs_u8, key, mean, std)
         else:
             x = A.eval_batch(imgs_u8, mean, std)
         feature, logits = model.apply(vars_k, x, train=False)
