@@ -65,6 +65,14 @@ class DataConfig:
     # threaded loader instead of keeping the dataset resident in HBM
     # (for datasets larger than device memory)
     host_stream: bool = False
+    # host_stream window: local steps per streamed window. 0 gathers the
+    # WHOLE round's batches to HBM up front (fine when round ⊂ HBM); W>0
+    # holds only W·K·B images on device at a time, the native loader
+    # prefetching window w+1 while window w trains (for rounds larger
+    # than HBM — ICH scale is 185k images ≈ 27 GB/round, reference
+    # preprocess/ICH_process.py:45-46). Engine support: lockstep rounds
+    # (the flagship path); other engines fall back to full gather.
+    stream_window: int = 0
 
 
 @dataclass(frozen=True)

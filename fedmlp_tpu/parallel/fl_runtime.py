@@ -811,9 +811,13 @@ def make_lockstep_local_round(
             x2 = A.strong_augment_batch(flat_u8, k2, mean, std)
         return {"x1": x1, "x2": x2}
 
+    _CARRY_KEYS = {"vars", "opt", "key", "it", "loss_sum", "cnt"}
+
     def round_fn(state, data, plan, scalars):
-        assert set(state) == {"vars"}, (
-            "lockstep round supports plain-vars algorithms only"
+        carry_mode = "opt" in state
+        assert set(state) == ({"vars"} if not carry_mode else _CARRY_KEYS), (
+            "lockstep round supports plain-vars algorithms only (plus the "
+            "windowed-stream carry: opt/key/it/loss_sum/cnt)"
         )
         pos, pos_valid = plan["pos"], plan["pos_valid"]  # [S, K, B]
         K = pos.shape[1]
@@ -830,16 +834,29 @@ def make_lockstep_local_round(
             mesh is not None and n_cl_shards > 1 and K % n_cl_shards == 0
             and mesh.shape.get("data", 1) == 1
         )
+        assert not (carry_mode and use_shard_map), (
+            "windowed-stream carry runs single-shard only (stream the "
+            "window from the host, shard the clients, pick one)"
+        )
         client_axis = "client" if use_shard_map else None
 
         def scan_round(svars, imgs_all, sample_all, pos, pos_valid,
-                       ctx, keys0):
+                       ctx, keys0, carry_in=None):
             Kl = pos.shape[1]  # local client count (K / shards under mesh)
             # per-client Adam state (vmapped init so EVERY leaf — including
             # the scalar step count — carries the leading client axis that
             # the per-step lax.map iterates over); initialized inside
             # shard_map so nothing here needs a PartitionSpec
-            opt0 = jax.vmap(tx.init)(svars["params"])
+            if carry_in is None:
+                opt0 = jax.vmap(tx.init)(svars["params"])
+                it0 = plan["iter0"]
+                loss0 = jnp.zeros((Kl,), jnp.float32)
+                cnt0 = jnp.zeros((Kl,), jnp.float32)
+            else:
+                # windowed host-stream: the optimizer/RNG/loss accumulators
+                # arrive from the previous window so W-step windows compose
+                # to exactly the unwindowed S-step round
+                opt0, keys0, it0, loss0, cnt0 = carry_in
 
             def body(carry, xs):
                 vars_s, opt_s, key, it, loss_sum, cnt = carry
@@ -894,13 +911,24 @@ def make_lockstep_local_round(
                 return (vars_s, opt_s, key, it + 1.0, loss_sum + loss,
                         cnt + has_any), None
 
-            init = (svars, opt0, keys0, plan["iter0"],
-                    jnp.zeros((Kl,), jnp.float32), jnp.zeros((Kl,), jnp.float32))
+            init = (svars, opt0, keys0, it0, loss0, cnt0)
             xs = (imgs_all, sample_all, pos, pos_valid)
-            (svars, _, _, _, loss_sum, cnt), _ = jax.lax.scan(
+            (svars, opt, key, it, loss_sum, cnt), _ = jax.lax.scan(
                 body, init, xs, unroll=scan_unroll)
             mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
+            if carry_in is not None:
+                return svars, mean_loss, (opt, key, it, loss_sum, cnt)
             return svars, mean_loss
+
+        if carry_mode:
+            carry_in = (state["opt"], state["key"], state["it"],
+                        state["loss_sum"], state["cnt"])
+            svars, mean_loss, (opt, key, it, loss_sum, cnt) = scan_round(
+                svars, imgs_all, plan["sample"], pos, pos_valid, ctx,
+                None, carry_in=carry_in)
+            out = {"vars": svars, "opt": opt, "key": key, "it": it,
+                   "loss_sum": loss_sum, "cnt": cnt}
+            return out, mean_loss, {}
 
         args = (svars, imgs_all, plan["sample"], pos, pos_valid, ctx,
                 plan["key"])
@@ -923,7 +951,29 @@ def make_lockstep_local_round(
             svars, mean_loss = scan_round(*args)
         return {"vars": svars}, mean_loss, {}
 
-    return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+
+    @jax.jit
+    def init_carry(svars, key, iter0):
+        """Windowed host-stream carry: per-client Adam state + RNG key +
+        loss accumulators, so round_fn can consume the round's S steps in
+        W-step windows (only one window's images resident in HBM) and
+        compose to exactly the unwindowed round — Adam moments, RNG
+        stream and loss means all thread through the carry."""
+        K = jax.tree_util.tree_leaves(svars["params"])[0].shape[0]
+        return {
+            "opt": jax.vmap(tx.init)(svars["params"]),
+            "key": key,
+            "it": iter0,
+            "loss_sum": jnp.zeros((K,), jnp.float32),
+            "cnt": jnp.zeros((K,), jnp.float32),
+        }
+
+    def round_entry(state, data, plan, scalars):
+        return jitted(state, data, plan, scalars)
+
+    round_entry.init_carry = init_carry
+    return round_entry
 
 
 # ----------------------------------------------------------------------

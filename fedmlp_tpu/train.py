@@ -375,6 +375,14 @@ class Trainer:
             gidx = np.asarray(self.fd.idx)[
                 np.arange(self.n_clients)[None, :, None], pos
             ]  # [S, K, B]
+            W = self.cfg.data.stream_window
+            if (W and pos.shape[0] > W and self.round_mesh is None
+                    and hasattr(round_fn, "init_carry")
+                    and not extra_state):
+                return self._windowed_pass(
+                    round_fn, gidx, sample_arrays, scalars, state, data,
+                    pos, pos_valid, sub, W,
+                )
             imgs = jnp.asarray(self.loader.gather(gidx.astype(np.int64)))
             sample = rt.gather_round_samples(self.fd.idx, sample_arrays, pos_j)
         else:
@@ -392,6 +400,48 @@ class Trainer:
         out_state, losses, aux = round_fn(state, data, plan, scalars)
         self.iter_num += pos.shape[0]
         return out_state, losses, aux
+
+    def _windowed_pass(self, round_fn, gidx, sample_arrays, scalars, state,
+                       data, pos, pos_valid, key, W):
+        """Host-streamed round in W-step windows: only W·K·B uint8 images
+        are resident in HBM at a time (an ICH-scale round is ~27 GB of
+        images — reference preprocess/ICH_process.py:45-46 — which cannot
+        be gathered up front). The native loader prefetches window w+1
+        from disk while window w trains on device; Adam state, the RNG
+        stream and the loss accumulators thread through the engine's
+        carry so the windowed round equals the unwindowed one exactly
+        (tests/test_stream_window.py)."""
+        S = pos.shape[0]
+        pos_j = jnp.asarray(pos)
+        sample = rt.gather_round_samples(self.fd.idx, sample_arrays, pos_j)
+        valid_j = jnp.asarray(pos_valid)
+        state = dict(state)
+        state.update(round_fn.init_carry(
+            state["vars"], key, jnp.float32(self.iter_num)))
+        gidx = gidx.astype(np.int64)
+        self.loader.submit(gidx[:W])
+        losses = None
+        w0 = 0
+        while w0 < S:
+            w1 = min(w0 + W, S)
+            chunk = self.loader.wait()
+            if w1 < S:
+                self.loader.submit(gidx[w1:min(w1 + W, S)])
+            plan = {
+                "images": jnp.asarray(chunk),
+                "sample": jax.tree_util.tree_map(
+                    lambda x: x[w0:w1], sample),
+                "pos": pos_j[w0:w1],
+                "pos_valid": valid_j[w0:w1],
+                # key/iter0 ride the carry in windowed mode; the plan
+                # entries keep the argument structure uniform
+                "key": key,
+                "iter0": jnp.float32(self.iter_num),
+            }
+            state, losses, _ = round_fn(state, data, plan, scalars)
+            w0 = w1
+        self.iter_num += S
+        return {"vars": state["vars"]}, losses, {}
 
     @property
     def round_mesh(self):
