@@ -55,11 +55,13 @@ class DataConfig:
     synthetic_test_size: int = 128
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
-    # weak-view warp backend: 'auto' (pallas on TPU, gather elsewhere),
+    # weak-view warp backend: 'auto' (fused on TPU, gather elsewhere),
     # 'gather' (single-pass bilinear, XLA gathers), 'paeth' (3-shear
-    # take_along_axis), 'pallas' (3-shear roll kernel), 'fused' (single
-    # fused kernel), 'normonly' (diagnostic, no warp). On TPU the gather
-    # warp dominates the round program (~5x throughput difference).
+    # take_along_axis), 'pallas' (v1 3-shear roll kernel), 'fused'
+    # (v3 single-kernel block-parallel warp — won its round-3 A/B +6.9%
+    # over v1 on the flagship), 'normonly' (diagnostic, no warp). On TPU
+    # the gather warp dominates the round program (~5x throughput
+    # difference).
     augment_backend: str = "auto"
     # stream image batches from the packed .npy on disk via the native
     # threaded loader instead of keeping the dataset resident in HBM

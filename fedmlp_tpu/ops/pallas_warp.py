@@ -59,6 +59,26 @@ def paeth_shift_vectors(theta, tx, ty, H: int, W: int):
     return s1, s2, s3
 
 
+def paeth_shift_params(theta, tx, ty, H: int, W: int):
+    """The same three shears as ``paeth_shift_vectors`` in closed
+    (slope, offset, center) form — shift_row(y) = slope·(y−center)+offset —
+    for the fused kernel, which reconstructs per-row shifts in-register."""
+    cx = (W - 1) / 2.0
+    cy = (H - 1) / 2.0
+    sin, cos = jnp.sin(theta), jnp.cos(theta)
+    alpha = -jnp.tan(theta / 2.0)
+    beta = sin
+    C = cx - cos * cx + sin * cy + (cos * -tx + (-sin) * -ty)
+    F = cy - sin * cx - cos * cy + (sin * -tx + cos * -ty)
+    tau = (C - alpha * F) / 2.0 + alpha * cy
+    t2 = F + alpha * beta * cy + beta * cx - beta * tau
+    return jnp.stack([
+        jnp.stack([alpha, tau, jnp.float32(cy)]),
+        jnp.stack([beta, t2, jnp.float32(cx)]),
+        jnp.stack([alpha, tau, jnp.float32(cy)]),
+    ])
+
+
 # ----------------------------------------------------------------------
 # Per-row fractional horizontal shift: out[r, x] = in[r, x + s_r]
 # ----------------------------------------------------------------------
@@ -161,45 +181,75 @@ def _use_pallas(flag):
 # ----------------------------------------------------------------------
 
 # ----------------------------------------------------------------------
-# v2: fully fused warp — all three shear passes + normalize in ONE kernel,
-# image resident in VMEM throughout. The v1 pipeline round-trips a padded
-# f32 [3,224,512] workspace through HBM per pass (+2 transposes): ~12 MB of
-# HBM traffic per image for a 0.15 MB input. Here: read u8 once, write the
-# normalized f32 output once (~0.8 MB/image), everything else in VMEM.
+# v3: fully fused warp — all three shear passes + normalize in ONE kernel,
+# image resident in VMEM throughout (read u8 once, write normalized f32
+# once), with BLOCK-parallel shears. The round profile showed the v1/v2
+# row-serial formulation at 60 GB/s: a 224px image issues ~1,300 dynamic
+# lane-rotates on [3, 1, 512] operands (2 per row), each using 3 of 8
+# sublanes. Here each 8-row block does ONE dynamic rotate by the block's
+# common integer shift K_b; the per-row residual (bounded by
+# slope·7 < 2 px for the ≤10° weak-augment shears) is resolved by SIX
+# STATIC-slice taps combined with per-row one-hot lerp weights — full
+# 8-sublane VPU ops, 16x fewer dynamic rotates, bit-identical arithmetic
+# to the per-row lerp (the extra taps contribute exact 0.0 terms).
 # The horizontal flip is pre-composed into the affine parameters
 # (flip∘affine(θ,tx,ty) ≡ affine(−θ,−tx,ty)∘flip, flip applied to the
 # cheap u8 input), so the kernel itself is flip-free.
 # ----------------------------------------------------------------------
 
+_RB = 8  # rows per shear block (f32 sublane tile)
+_TAPS = (-2, -1, 0, 1, 2, 3)  # covers |k_row − K_b| ≤ 2 (slope·7 + floor)
 
-def _fused_warp_kernel(s_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
+
+def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
                        mean, std):
-    """s_ref SMEM [3, S] shift vectors; img_ref u8 [3, S, S];
+    """p_ref SMEM [3, 3] per-pass shear params (slope, offset, center):
+    shift_row(y) = slope·(y − center) + offset. img_ref u8 [3, S, S];
     out_ref f32 [3, S, S]; buf_a/buf_b VMEM [3, S, Sp] ping-pong with a
     128-lane zero left margin (see _hshift_kernel for the roll trick)."""
 
     def shift_pass(src, dst, srow, normalize_out=False):
-        def body(r, _):
-            s = s_ref[srow, r]
-            k = jnp.floor(s).astype(jnp.int32)
-            w = s - k.astype(jnp.float32)
-            row = src[:, pl.ds(r, 1), :]  # [3, 1, Sp]
-            # non-negative cyclic shifts only — see _hshift_kernel
-            sh = jnp.mod(-k, Sp)
-            lo = pltpu.roll(row, sh, axis=2)[:, :, 128 : 128 + S]
-            hi = pltpu.roll(row, jnp.mod(sh - 1, Sp), axis=2)[:, :, 128 : 128 + S]
-            val = (1.0 - w) * lo + w * hi
+        slope = p_ref[srow, 0]
+        offset = p_ref[srow, 1]
+        center = p_ref[srow, 2]
+        # per-block row iota [1, RB, 1], broadcasts against [3, RB, S]
+        # (Mosaic iota must be integer-typed; cast after)
+        riota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, _RB, 1), 1).astype(jnp.float32)
+
+        def body(b, _):
+            y0 = (b * _RB).astype(jnp.float32)
+            # block-common integer shift from the mid-row shift
+            s_mid = slope * (y0 + (_RB - 1) / 2.0 - center) + offset
+            kb = jnp.floor(s_mid).astype(jnp.int32)
+            # per-row shift vector for this block
+            s_vec = slope * (y0 + riota - center) + offset  # [1, RB, 1]
+            k_vec = jnp.floor(s_vec)
+            w = s_vec - k_vec  # [1, RB, 1] fractional part
+            rel = k_vec.astype(jnp.int32) - kb  # ∈ [-2, 2]
+            rows = src[:, pl.ds(b * _RB, _RB), :]  # [3, RB, Sp]
+            # one dynamic rotate per block; non-negative cyclic shift only
+            # (compiled Mosaic mis-lowers negative traced rolls — see
+            # _hshift_kernel)
+            rolled = pltpu.roll(rows, jnp.mod(-kb, Sp), axis=2)
+            val = jnp.zeros((3, _RB, S), jnp.float32)
+            for d in _TAPS:
+                # tap_d[x] = src[x + kb + d]; row r needs d = k_r − kb
+                # (weight 1−w) and d = k_r − kb + 1 (weight w)
+                c_d = jnp.where(rel == d, 1.0 - w, 0.0) + jnp.where(
+                    rel == d - 1, w, 0.0)
+                val = val + c_d * rolled[:, :, 128 + d : 128 + d + S]
             if normalize_out:
                 # python-unrolled channels: scalars only, no captured consts
                 for c in range(3):
                     m = float(mean[c]) * 255.0
                     sd = float(std[c]) * 255.0
-                    out_ref[c, pl.ds(r, 1), :] = (val[c] - m) / sd
+                    out_ref[c, pl.ds(b * _RB, _RB), :] = (val[c] - m) / sd
             else:
-                dst[:, pl.ds(r, 1), 128 : 128 + S] = val
+                dst[:, pl.ds(b * _RB, _RB), 128 : 128 + S] = val
             return 0
 
-        jax.lax.fori_loop(0, S, body, 0)
+        jax.lax.fori_loop(0, S // _RB, body, 0)
 
     zeros = jnp.zeros((3, S, Sp), jnp.float32)
     buf_a[:] = zeros
@@ -217,13 +267,17 @@ def _fused_warp_kernel(s_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
     shift_pass(buf_a, None, 2, normalize_out=True)  # shear 3 + normalize
 
 
-def fused_warp_normalize(img_u8_planar, shifts, mean, std,
+def fused_warp_normalize(img_u8_planar, params, mean, std,
                          interpret: bool | None = None):
-    """One image: u8 [3, S, S] + shifts [3, S] → normalized f32 [3, S, S]."""
+    """One image: u8 [3, S, S] + per-pass shear params [3, 3] rows of
+    (slope, offset, center) — shift_row(y) = slope·(y−center) + offset —
+    → normalized f32 [3, S, S]. |slope| must stay ≤ tan(15°) so the
+    six-tap residual window covers every row of an 8-row block."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     C, S, S2 = img_u8_planar.shape
     assert C == 3 and S == S2, "fused warp expects square RGB planar input"
+    assert S % _RB == 0, f"image size must be a multiple of {_RB}"
     Sp = ((S + 160 + 127) // 128) * 128  # 128 left margin + ≥32 right slack
     kernel = functools.partial(_fused_warp_kernel, S=S, Sp=Sp,
                                mean=tuple(mean), std=tuple(std))
@@ -241,7 +295,7 @@ def fused_warp_normalize(img_u8_planar, shifts, mean, std,
             pltpu.VMEM((3, S, Sp), jnp.float32),
         ],
         interpret=interpret,
-    )(shifts.astype(jnp.float32), img_u8_planar)
+    )(params.astype(jnp.float32), img_u8_planar)
 
 
 def weak_augment_batch_fused(images_u8, key, mean, std, degrees=10.0,
@@ -263,9 +317,8 @@ def weak_augment_batch_fused(images_u8, key, mean, std, degrees=10.0,
         tx = jnp.where(flip, -tx, tx)
         planar = img.transpose(2, 0, 1)  # u8 [3, H, W]
         planar = jnp.where(flip, planar[:, :, ::-1], planar)
-        s1, s2, s3 = paeth_shift_vectors(jnp.deg2rad(ang), tx, ty, H, W)
-        shifts = jnp.stack([s1, s2, s3])
-        out = fused_warp_normalize(planar, shifts, mean, std,
+        params = paeth_shift_params(jnp.deg2rad(ang), tx, ty, H, W)
+        out = fused_warp_normalize(planar, params, mean, std,
                                    interpret=not _use_pallas(use_pallas))
         return out.transpose(1, 2, 0)
 

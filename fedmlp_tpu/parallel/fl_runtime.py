@@ -312,12 +312,13 @@ def make_local_round(
     has_teacher = teacher_decay is not None
 
     if augment_backend == "auto":
-        # the gather-based bilinear warp is ~5x slower than the Pallas
-        # 3-shear kernel inside the round scan on TPU (measured: 453 vs
-        # 2253 img/s on the efficient_b0 bench config); off-TPU the jnp
-        # gather formulation is the fast one
+        # TPU: the fused v3 block-parallel warp kernel (one dynamic roll
+        # per 8-row block + static-tap lerp) — beat the v1 3-kernel Paeth
+        # pipeline +6.9% on the flagship stage-1 round (probe_warp_round,
+        # round 3); the gather-based bilinear warp is ~5x slower than
+        # either. Off-TPU the jnp gather formulation is the fast one.
         augment_backend = (
-            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+            "fused" if jax.devices()[0].platform == "tpu" else "gather"
         )
     weak = _pick_weak_backend(augment_backend)
 
@@ -637,7 +638,7 @@ def make_stacked_local_round(
 
     if augment_backend == "auto":
         augment_backend = (
-            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+            "fused" if jax.devices()[0].platform == "tpu" else "gather"
         )
     weak = _pick_weak_backend(augment_backend)
 
@@ -794,7 +795,7 @@ def make_lockstep_local_round(
 
     if augment_backend == "auto":
         augment_backend = (
-            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+            "fused" if jax.devices()[0].platform == "tpu" else "gather"
         )
     weak = _pick_weak_backend(augment_backend)
 
@@ -1001,7 +1002,7 @@ def make_harvest_fn(model, mean, std, batch_size: int,
 
     if augment_backend == "auto":
         augment_backend = (
-            "pallas" if jax.devices()[0].platform == "tpu" else "gather"
+            "fused" if jax.devices()[0].platform == "tpu" else "gather"
         )
     weak = _pick_weak_backend(augment_backend)
 
