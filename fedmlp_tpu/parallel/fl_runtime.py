@@ -886,7 +886,14 @@ def make_lockstep_local_round(
                 sample_s["_pos"] = pos_s
 
                 def one(args):
-                    vars_k, opt_k, views_kk, sample_k, svalid_k, ctx_k, kl = args
+                    # gradient only — the conv-heavy part that must stay
+                    # per-client (vmapped per-client-filter convs lower
+                    # ~100x slower); the Adam update is pure elementwise
+                    # math and runs K-BATCHED outside the map, which keeps
+                    # the optimizer state out of the map's slice/update
+                    # machinery entirely (profiling showed ~60k tiny ops
+                    # per step from per-client per-leaf optimizer chains)
+                    vars_k, views_kk, sample_k, svalid_k, ctx_k, kl = args
                     params = vars_k["params"]
                     rest = {k: v for k, v in vars_k.items() if k != "params"}
 
@@ -897,20 +904,25 @@ def make_lockstep_local_round(
 
                     (loss, (new_rest, _aux)), grads = jax.value_and_grad(
                         lf, has_aux=True)(params)
-                    updates, new_opt = tx.update(grads, opt_k, params)
-                    has_any = (svalid_k.sum() > 0).astype(jnp.float32)
-                    updates = jax.tree_util.tree_map(
-                        lambda u: u * has_any, updates)
-                    new_params = optax.apply_updates(params, updates)
-                    new_vars = dict(new_rest)
-                    new_vars["params"] = new_params
-                    return new_vars, new_opt, loss * has_any, has_any
+                    return grads, new_rest, loss
 
-                vars_s, opt_s, loss, has_any = jax.lax.map(
-                    one, (vars_s, opt_s, views_k, sample_s, valid_s, ctx, kls)
+                grads, new_rest, loss = jax.lax.map(
+                    one, (vars_s, views_k, sample_s, valid_s, ctx, kls)
                 )
-                return (vars_s, opt_s, key, it + 1.0, loss_sum + loss,
-                        cnt + has_any), None
+                has_any = (valid_s.sum(1) > 0).astype(jnp.float32)  # [Kl]
+                params_s = vars_s["params"]
+                updates, opt_s = jax.vmap(tx.update)(grads, opt_s, params_s)
+
+                def mask(u):
+                    return u * has_any.reshape(
+                        (Kl,) + (1,) * (u.ndim - 1)).astype(u.dtype)
+
+                updates = jax.tree_util.tree_map(mask, updates)
+                new_params = optax.apply_updates(params_s, updates)
+                vars_s = dict(new_rest)
+                vars_s["params"] = new_params
+                return (vars_s, opt_s, key, it + 1.0,
+                        loss_sum + loss * has_any, cnt + has_any), None
 
             init = (svars, opt0, keys0, it0, loss0, cnt0)
             xs = (imgs_all, sample_all, pos, pos_valid)
