@@ -89,7 +89,9 @@ class MBConv(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     norm: Any = None
     drop_rate: float = 0.0  # stochastic depth, scaled by global block index
-    dw_backend: str = "conv"  # 'conv' (XLA grouped conv) | 'taps' (VPU shifts)
+    # 'conv' (XLA grouped conv) | 'taps' (VPU shifts) | 'pallas' (XLA
+    # forward + Pallas flat-shift backward, ops/dw_pallas.py)
+    dw_backend: str = "conv"
 
     @nn.compact
     def __call__(self, x, stochastic: bool = False):
@@ -107,6 +109,11 @@ class MBConv(nn.Module):
 
             h = DepthwiseTaps(mid, k, s, dw_pads, dtype=self.dtype,
                               name="dw_conv")(h)
+        elif self.dw_backend == "pallas":
+            from fedmlp_tpu.ops.depthwise import DepthwisePallas
+
+            h = DepthwisePallas(mid, k, s, dw_pads, dtype=self.dtype,
+                                name="dw_conv")(h)
         else:
             h = nn.Conv(
                 mid, (k, k), (s, s), padding=list(dw_pads),

@@ -64,3 +64,38 @@ class DepthwiseTaps(nn.Module):
         )
         return depthwise_taps(x.astype(self.dtype), w.astype(self.dtype),
                               self.stride, self.pads)
+
+
+class DepthwisePallas(nn.Module):
+    """Same parameter pytree as ``DepthwiseTaps``/``nn.Conv`` but with the
+    Pallas flat-shift BACKWARD (ops/dw_pallas.py): the forward stays on
+    XLA's near-roofline grouped-conv emitter; dx and dw run as dense-flat
+    shift kernels reading each operand from HBM exactly once.  Falls back
+    to the native VJP off-TPU-compile only when the flat-view geometry is
+    unsupported (H·W·C not a multiple of lcm(C, 128))."""
+
+    features: int
+    kernel: int
+    stride: int
+    pads: tuple  # ((t, b), (l, r))
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from fedmlp_tpu.ops.dw_pallas import dw_conv_pallas, flat_supported
+
+        k = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype)
+        w = w.astype(self.dtype)
+        if not flat_supported(x.shape[1], x.shape[2], x.shape[3]):
+            return depthwise_taps(x, w, self.stride, self.pads)
+        interpret = jax.devices()[0].platform != "tpu"
+        return dw_conv_pallas(x, w, self.stride, self.pads, interpret)

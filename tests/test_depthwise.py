@@ -65,3 +65,84 @@ def test_b0_backends_agree_end_to_end():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(fc), np.asarray(ft),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---- Pallas flat-shift backward (ops/dw_pallas.py) ----
+
+def _ref_conv_hi(x, w, s, pads):
+    return jax.lax.conv_general_dilated(
+        x, w, (s, s), padding=list(pads),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@pytest.mark.parametrize("hw,c,k", [(12, 8, 3), (8, 4, 3), (8, 16, 5),
+                                    (14, 32, 3)])
+def test_flat_conv_forward_exact(hw, c, k):
+    from fedmlp_tpu.ops.dw_pallas import dw_conv_flat_s1, flat_supported
+
+    assert flat_supported(hw, hw, c)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, hw, hw, c), jnp.float32)
+    w = jnp.asarray(rs.randn(k, k, 1, c), jnp.float32)
+    pads = (_same_pads(hw, k, 1), _same_pads(hw, k, 1))
+    got = dw_conv_flat_s1(x, w, pads, interpret=True)
+    ref = _ref_conv_hi(x, w, 1, pads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw,c,k,s", [
+    (12, 8, 3, 1), (12, 8, 3, 2), (8, 16, 5, 2), (14, 32, 3, 2),
+    (8, 4, 5, 1), (16, 8, 5, 2),
+])
+def test_pallas_vjp_matches_native(hw, c, k, s):
+    """dx and dw of the Pallas backward vs XLA's native VJP at HIGHEST
+    precision, with a shared explicit cotangent (so forward-precision
+    differences cannot leak into the comparison)."""
+    from fedmlp_tpu.ops.dw_pallas import dw_conv_pallas
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, hw, hw, c), jnp.float32)
+    w = jnp.asarray(rs.randn(k, k, 1, c), jnp.float32)
+    pads = (_same_pads(hw, k, s), _same_pads(hw, k, s))
+    yr, vjp_ref = jax.vjp(lambda x, w: _ref_conv_hi(x, w, s, pads), x, w)
+    ym, vjp_mine = jax.vjp(
+        lambda x, w: dw_conv_pallas(x, w, s, pads, True), x, w)
+    ct = jnp.asarray(rs.randn(*yr.shape), jnp.float32)
+    gr, gm = vjp_ref(ct), vjp_mine(ct)
+    np.testing.assert_allclose(np.asarray(gm[0]), np.asarray(gr[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gm[1]), np.asarray(gr[1]),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_b0_pallas_backend_grads_match():
+    """End-to-end B0 (64px): the pallas dw_backend must produce the same
+    loss gradients as the XLA grouped-conv backend."""
+    model_c = efficientnet_b0(3, dtype=jnp.float32, dw_backend="conv")
+    model_p = efficientnet_b0(3, dtype=jnp.float32, dw_backend="pallas")
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3),
+                    jnp.float32)
+    variables = model_c.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m):
+        def f(params):
+            (feat, logits), _ = m.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(logits ** 2)
+        return f
+
+    gc = jax.grad(loss(model_c))(variables["params"])
+    gp = jax.grad(loss(model_p))(variables["params"])
+    flat_c = jax.tree_util.tree_leaves_with_path(gc)
+    flat_p = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_leaves_with_path(gp)}
+    for kp, v in flat_c:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[jax.tree_util.keystr(kp)]), np.asarray(v),
+            rtol=2e-2, atol=2e-3, err_msg=jax.tree_util.keystr(kp))
