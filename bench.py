@@ -65,6 +65,7 @@ def _bench_fedmlp(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
             synthetic_test_size=64,
         ),
         compute_dtype="bfloat16",
+        dw_backend=os.environ.get("BENCH_DW", ""),
     )
     t = Trainer(cfg)
     imgs_per_round = int(np.asarray(t.fd.valid).sum()) * cfg.local_ep
@@ -152,6 +153,7 @@ def _bench_fedavg(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
             synthetic_test_size=64,
         ),
         compute_dtype="bfloat16",
+        dw_backend=os.environ.get("BENCH_DW", ""),
     )
     t = Trainer(cfg)
 

@@ -131,6 +131,10 @@ def args_parser(argv=None):
                             "normonly"])
     # engine knobs (defaults = measured-best configuration, BENCH_NOTES.md)
     p.add_argument("--scan_unroll", type=int, default=1)
+    p.add_argument("--dw_backend", type=str, default="",
+                   choices=["", "conv", "taps", "pallas"],
+                   help="EfficientNet depthwise-conv impl (models/"
+                        "efficientnet.py::MBConv)")
     p.add_argument("--client_stacking", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="channel-stacked lockstep clients (models/stacked.py)")
@@ -193,6 +197,7 @@ def config_from_args(a) -> Config:
         checkpoint_every=a.checkpoint_every,
         compute_dtype=a.compute_dtype,
         scan_unroll=a.scan_unroll,
+        dw_backend=a.dw_backend,
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,
         weight_stream=a.weight_stream,

@@ -202,6 +202,11 @@ class Config:
     # engine: unroll factor of the local-step lax.scan (trades compile time
     # and code size for less while-loop bookkeeping + cross-step scheduling)
     scan_unroll: int = 1
+    # engine: depthwise-conv implementation for the EfficientNet family —
+    # '' (XLA grouped conv, measured-best), 'taps', or 'pallas' (XLA
+    # forward + Pallas padded-window backward, ops/dw_pallas.py; per-op
+    # parity-to-slower vs XLA on this slice, kept for integrated A/Bs)
+    dw_backend: str = ""
     # engine: channel-stacked lockstep clients (models/stacked.py) — 'auto'
     # currently resolves OFF (the mapped lax.map engine measured faster
     # end-to-end: BN rides XLA's conv fusions there, BENCH_NOTES.md) and

@@ -71,14 +71,23 @@ def build_model(
     num_classes: int,
     compute_dtype=jnp.bfloat16,
     normed_head: bool = False,
+    dw_backend: str | None = None,
 ):
     """Return the Flax module for ``name`` with an ``num_classes``-way head
-    (reference: model/build_model.py:5-9 = get_model + modify_last_layer)."""
+    (reference: model/build_model.py:5-9 = get_model + modify_last_layer).
+
+    ``dw_backend`` selects the depthwise-conv implementation for the
+    EfficientNet family (see MBConv.dw_backend); ignored for other
+    architectures."""
     key = _canon(name)
     if key not in MODEL_REGISTRY:
         raise ValueError(f"Name of model unknown {name}")
     ctor, _ = MODEL_REGISTRY[key]
-    return ctor(num_classes, dtype=compute_dtype, normed_head=normed_head)
+    kw = {}
+    if dw_backend and key.startswith("efficient_b"):
+        kw["dw_backend"] = dw_backend
+    return ctor(num_classes, dtype=compute_dtype, normed_head=normed_head,
+                **kw)
 
 
 def init_model(model, rng, image_size: int, channels: int = 3, batch: int = 1):

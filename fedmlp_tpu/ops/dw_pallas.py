@@ -6,26 +6,23 @@ step — running at 162-450 GB/s with up to 2.3x ideal bytes (worst op:
 bwd block0_0/dw_conv 44.5 ms at 162 GB/s for 7.2 GB).  The forward
 emitter is near ideal bytes, so these kernels replace only the VJP:
 dx via the stride-1 conv kernel on the (dilated) cotangent with the
-spatially flipped filter, and dw via k² masked shift-multiply-reduce
-passes with x and dy read from HBM exactly once.
+spatially flipped filter, and dw via k² window-multiply-reduce passes
+with x and dy read from HBM exactly once.
 
-Layout (the warp-v3 lesson: whole-buffer STATIC ops only, and the VMEM
-lesson from the first prototype: an (H·W, C) buffer pads C to 128 lanes
-— 4x physical VMEM at block0's C=32).  Each image is viewed as its flat
-NHWC vector reshaped to (S, M) with M = lcm(C, 128) lanes: every buffer
-is lane-dense for all of B0's channel counts.  A conv tap (ky, kx)
-shifts the flat vector by Delta = ((ky-pt)·W + (kx-pl))·C, which on the
-(S, M) view decomposes into one static lane roll by r = Delta mod M and
-a two-row static-slice select (row carry where lane >= M - r):
+Formulation (padded-window; a first roll+select flat-shift variant
+measured 2x SLOWER than XLA's native VJP — ~6 whole-buffer VPU ops per
+tap; this one needs ~2): an image lives in VMEM as an (H, W·C) buffer
+(image row = buffer row, channels minor within lanes).  The kernel
+zero-initializes an (H+k-1, (W+k-1)·C) scratch and writes the image at
+row offset pt, lane offset pl·C — after which EVERY conv tap is one
+fully-in-bounds static rectangular window read + FMA:
 
-    shifted[a, m] = v[a + s + (m >= M - r), (m + r) mod M]
+    acc[0:H, 0:W·C] += x_pad[ky : ky+H, kx·C : kx·C + W·C] * w_row[ky,kx]
 
-Because Delta is a multiple of C, channels stay aligned and the filter
-becomes a single (M,) row (w tiled M/C times).  Row-edge wrap terms are
-zeroed by a mask on the OUTPUT column ((flat // C) mod W), which depends
-only on kx; vertical out-of-range taps fall outside [0, N) in flat index
-space once the horizontal mask is applied, and are zeroed by the row
-shift's edge padding.
+with w_row the filter tap broadcast W times along lanes (precomputed
+outside, k² × W·C).  No rolls, no masks, no edge selects.  The weight
+gradient reduces the same windows against the cotangent: row-sum then a
+halving tree over the W lane-groups down to C lanes.
 
 Strided blocks (stride 2) route through the same stride-1 kernels by
 zero-embedding dy at input resolution (interior+high lax.pad — H must be
@@ -38,97 +35,78 @@ Precision.HIGHEST is asserted in tests/test_depthwise.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _geom(H: int, W: int, C: int):
-    """Dense-flat view geometry: (S, M) with M = lcm(C, 128)."""
-    g = math.gcd(C, 128)
-    M = (C // g) * 128          # lcm(C, 128) == Q * C
-    Q = 128 // g
-    N = H * W * C
-    if N % M != 0:
-        return None
-    return N // M, M, Q
+# v5e cores have 128 MiB of VMEM; the default 16 MiB scoped limit is too
+# small for whole-image buffers at 224 px.  Leave headroom for the
+# pipeline's double buffering.
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def flat_supported(H: int, W: int, C: int) -> bool:
-    return _geom(H, W, C) is not None
+    """The padded-window kernels have no divisibility constraints; keep
+    the gate for pathological tiny shapes only."""
+    return H >= 1 and W >= 1 and C >= 1
 
 
-def _shifted(v, delta: int, S: int, M: int):
-    """shifted[a, m] = v[flat a·M + m + delta], zero outside [0, S·M)."""
-    s, r = delta // M, delta % M
-    u = v if r == 0 else pltpu.roll(v, shift=(M - r) % M, axis=1)
-
-    def rowshift(t, sh):
-        if sh == 0:
-            return t
-        if sh >= S or sh <= -S:
-            return jnp.zeros_like(t)
-        if sh > 0:
-            return jnp.pad(t[sh:], ((0, sh), (0, 0)))
-        return jnp.pad(t[:S + sh], ((-sh, 0), (0, 0)))
-
-    if r == 0:
-        return rowshift(u, s)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
-    return jnp.where(lane < M - r, rowshift(u, s), rowshift(u, s + 1))
+def _fold_w(t, W: int, C: int):
+    """Sum the W lane-groups of a (rows, W·C) buffer down to (rows, C) by
+    a static halving tree (a lane-dim reshape (W·C,) -> (W, C) does not
+    lower in Mosaic)."""
+    while W > 1:
+        h = W // 2
+        s = t[:, : h * C] + t[:, h * C : 2 * h * C]
+        if W % 2:
+            tail = t[:, 2 * h * C : W * C]
+            head = s[:, :C] + tail
+            s = head if h == 1 else jnp.concatenate(
+                [head, s[:, C:]], axis=1)
+        t, W = s, h
+    return t
 
 
-def _xcol(S: int, M: int, C: int, W: int):
-    """Output column index (in [0, W)) of every position of the (S, M)
-    flat view."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, M), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
-    return ((row * M + lane) // C) % W
-
-
-def _conv_kernel(x_ref, w_ref, o_ref, *, H, W, C, k, pt, pl_pad, S, M):
-    x = x_ref[0].astype(jnp.float32)
-    xcol = _xcol(S, M, C, W)
-    acc = jnp.zeros((S, M), jnp.float32)
+def _conv_kernel(x_ref, w_ref, o_ref, xp_ref, acc_ref, *, H, W, C, k, pt,
+                 pl_pad):
+    Wp = (W + k - 1) * C
+    xp_ref[...] = jnp.zeros_like(xp_ref)
+    xp_ref[pt : pt + H, pl_pad * C : pl_pad * C + W * C] = x_ref[0]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for ky in range(k):
         for kx in range(k):
-            delta = ((ky - pt) * W + (kx - pl_pad)) * C
-            sh = _shifted(x, delta, S, M)
-            # input column xcol + kx - pl_pad must lie in [0, W)
-            ok = (xcol + (kx - pl_pad) >= 0) & (xcol + (kx - pl_pad) < W)
-            w_row = w_ref[ky * k + kx].astype(jnp.float32)  # [M]
-            acc = acc + jnp.where(ok, sh, 0.0) * w_row[None, :]
-    o_ref[0] = acc.astype(o_ref.dtype)
+            win = xp_ref[ky : ky + H, kx * C : kx * C + W * C]
+            w_row = w_ref[ky * k + kx]  # [W·C]
+            acc_ref[...] += win.astype(jnp.float32) * w_row[None, :]
+    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _wgrad_kernel(x_ref, dy_ref, o_ref, *, H, W, C, k, pt, pl_pad, S, M, Q):
+def _wgrad_kernel(x_ref, dy_ref, o_ref, xp_ref, *, H, W, C, k, pt,
+                  pl_pad):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    x = x_ref[0].astype(jnp.float32)
+    xp_ref[...] = jnp.zeros_like(xp_ref)
+    xp_ref[pt : pt + H, pl_pad * C : pl_pad * C + W * C] = x_ref[0]
     dy = dy_ref[0].astype(jnp.float32)
-    xcol = _xcol(S, M, C, W)
     taps = []
     for ky in range(k):
         for kx in range(k):
-            delta = ((ky - pt) * W + (kx - pl_pad)) * C
-            sh = _shifted(x, delta, S, M)
-            ok = (xcol + (kx - pl_pad) >= 0) & (xcol + (kx - pl_pad) < W)
-            prod = jnp.where(ok, sh, 0.0) * dy
-            col = jnp.sum(prod, axis=0, keepdims=True)         # [1, M]
-            # fold the Q channel repeats of the lcm row by static lane
-            # slices (a lane-dim reshape (M,) -> (Q, C) does not lower)
-            tap = col[:, 0:C]
-            for q in range(1, Q):
-                tap = tap + col[:, q * C:(q + 1) * C]
-            taps.append(tap[0])                                 # [C]
-    o_ref[...] += jnp.stack(taps)                      # [k*k, C]
+            win = xp_ref[ky : ky + H, kx * C : kx * C + W * C]
+            prod = win.astype(jnp.float32) * dy
+            col = jnp.sum(prod, axis=0, keepdims=True)  # [1, W·C]
+            taps.append(_fold_w(col, W, C)[0])          # [C]
+    o_ref[...] += jnp.stack(taps)                        # [k², C]
+
+
+def _tap_rows(w, k: int, C: int, W: int):
+    """Precompute the per-tap lane rows: w [k,k,1,C] -> [k², W·C] f32."""
+    return jnp.tile(w.reshape(k * k, C).astype(jnp.float32), (1, W))
 
 
 def dw_conv_flat_s1(x, w, pads, interpret: bool = False):
@@ -138,26 +116,28 @@ def dw_conv_flat_s1(x, w, pads, interpret: bool = False):
     k = w.shape[0]
     (pt, pb), (pl_pad, pr) = pads
     assert pt + pb == k - 1 and pl_pad + pr == k - 1, (pads, k)
-    geom = _geom(H, W, C)
-    assert geom is not None, (H, W, C)
-    S, M, Q = geom
-    wf = jnp.tile(w.reshape(k * k, C), (1, Q)).astype(jnp.float32)  # [k², M]
     kern = functools.partial(_conv_kernel, H=H, W=W, C=C, k=k, pt=pt,
-                             pl_pad=pl_pad, S=S, M=M)
+                             pl_pad=pl_pad)
     out = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, S, M), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, H, W * C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * k, M), lambda b: (0, 0),
+            pl.BlockSpec((k * k, W * C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S, M), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, H, W * C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, M), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H + k - 1, (W + k - 1) * C), x.dtype),
+            pltpu.VMEM((H, W * C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(x.reshape(B, S, M), wf)
+    )(x.reshape(B, H, W * C), _tap_rows(w, k, C, W))
     return out.reshape(B, H, W, C)
 
 
@@ -167,25 +147,27 @@ def dw_wgrad_flat_s1(x, dy, k: int, pads, interpret: bool = False):
     strided cotangent)."""
     B, H, W, C = x.shape
     (pt, _pb), (pl_pad, _pr) = pads
-    geom = _geom(H, W, C)
-    assert geom is not None, (H, W, C)
-    S, M, Q = geom
     kern = functools.partial(_wgrad_kernel, H=H, W=W, C=C, k=k, pt=pt,
-                             pl_pad=pl_pad, S=S, M=M, Q=Q)
+                             pl_pad=pl_pad)
     out = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, S, M), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, H, W * C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, M), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, H, W * C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k * k, C), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k * k, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((H + k - 1, (W + k - 1) * C), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(x.reshape(B, S, M), dy.reshape(B, S, M))
+    )(x.reshape(B, H, W * C), dy.reshape(B, H, W * C))
     return out.reshape(k, k, 1, C)
 
 
@@ -216,7 +198,7 @@ def _dw_fwd_xla(x, w, stride: int, pads):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def dw_conv_pallas(x, w, stride: int, pads, interpret: bool = False):
     """Depthwise conv with XLA's (near-roofline) forward emitter and the
-    Pallas flat-shift backward: dx = stride-1 conv of the dilated
+    Pallas padded-window backward: dx = stride-1 conv of the dilated
     cotangent with the flipped filter, dw = the wgrad kernel."""
     return _dw_fwd_xla(x, w, stride, pads)
 

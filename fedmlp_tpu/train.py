@@ -155,7 +155,8 @@ class Trainer:
 
         # ---- model ----
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.model = build_model(cfg.model, cfg.n_classes, compute_dtype=dtype)
+        self.model = build_model(cfg.model, cfg.n_classes, compute_dtype=dtype,
+                                 dw_backend=cfg.dw_backend or None)
         self.global_vars = init_model(
             self.model, jax.random.PRNGKey(cfg.seed), cfg.data.image_size,
             batch=2,

@@ -1,4 +1,4 @@
-"""Fused conv1x1+BN-stats prototype (ops/fused_conv_bn.py): output and
+"""Fused conv1x1+BN-stats prototype (tools/fused_conv_bn.py, retired from the package after measuring at parity forward / negative backward — BENCH_NOTES.md round-3): output and
 channel statistics must match the unfused reference. Interpret mode
 exercises the same kernel the TPU compiles (round-3 roadmap item 1,
 BENCH_NOTES.md)."""
@@ -7,7 +7,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fedmlp_tpu.ops.fused_conv_bn import conv1x1_bn_stats
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from fused_conv_bn import conv1x1_bn_stats  # noqa: E402
 
 
 def test_fused_conv_bn_stats_matches_reference():

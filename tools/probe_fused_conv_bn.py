@@ -62,7 +62,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from fedmlp_tpu.ops.fused_conv_bn import conv1x1_bn_stats
+    from fused_conv_bn import conv1x1_bn_stats
 
     results = {"platform": jax.devices()[0].platform, "iters": ITERS}
     rs = np.random.RandomState(0)
@@ -121,7 +121,7 @@ def main():
 
         @jax.jit
         def fused_2pass(x, w):
-            from fedmlp_tpu.ops.fused_conv_bn import conv1x1_bn_act_2pass
+            from fused_conv_bn import conv1x1_bn_act_2pass
 
             def body(carry, _):
                 x, w = carry

@@ -36,6 +36,9 @@ VARIANTS = {
     "nohoist": {"client_stacking": "off", "hoist_augment": 0},
     "stacked": {"client_stacking": "on"},
     "stacked_unroll4": {"client_stacking": "on", "scan_unroll": 4},
+    "base2": {},  # repeat-of-base slot for drift-bracketed A/B/A runs
+    "dw_pallas": {"dw_backend": "pallas"},
+    "dw_taps": {"dw_backend": "taps"},
 }
 
 
