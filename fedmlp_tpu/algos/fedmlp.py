@@ -78,6 +78,38 @@ def loss_fn(params, rest, model, views, sample, svalid, ctx, cstate, rng, scalar
     return loss_sup + loss_dis, (rest2, {})
 
 
+def loss_fn_viewcat(params, rest, model, views, sample, svalid, ctx, cstate,
+                    rng, scalars):
+    """Stage-1 loss with the two weak views run as ONE 2B forward.
+
+    The reference runs net(x1) then net(x2) sequentially (utils/
+    local_training.py:937-947); concatenating halves the conv op count —
+    the flagship program is op-issue-bound at B=32 (BENCH_NOTES round-3
+    profile: 497 GB/s / 8 TFLOPs, neither roofline). Semantics deviation
+    (engine knob view_concat, default off): BN batch statistics are
+    computed over the joint 2B batch and the running stats update once
+    per step instead of twice; the loss math is otherwise identical to
+    ``loss_fn``."""
+    labels = sample["labels"]
+    x = jnp.concatenate([views["x1"], views["x2"]], axis=0)
+    _, logits, rest1 = apply_train(model, params, rest, x, rng)
+    logits1, logits2 = jnp.split(logits, 2, axis=0)
+    p1 = jax.nn.sigmoid(logits1)
+    p2 = jax.nn.sigmoid(logits2)
+    B, C = logits1.shape
+
+    g1 = jax.nn.sigmoid(views["g_logits1"])
+    g2 = jax.nn.sigmoid(views["g_logits2"])
+    sup = (L.bce_on_probs(p1, labels) + L.bce_on_probs(p2, labels)) / 2.0
+    dis = ((p1 - g1) ** 2 + (p2 - g2) ** 2) / 2.0
+    sup = masked_rows(sup, svalid)
+    dis = masked_rows(dis, svalid)
+    active, negative = ctx["active"], ctx["negative"]
+    loss_sup = (sup * active[None, :]).sum() / (B * jnp.maximum(active.sum(), 1.0))
+    loss_dis = (dis * negative[None, :]).sum() / (B * jnp.maximum(negative.sum(), 1.0))
+    return loss_sup + loss_dis, (rest1, {})
+
+
 def stacked_loss_fn(params, rest, model, views, sample, svalid, ctx, rng,
                     scalars):
     """Stage-1 loss, channel-stacked over all K clients

@@ -131,6 +131,10 @@ def args_parser(argv=None):
                             "normonly"])
     # engine knobs (defaults = measured-best configuration, BENCH_NOTES.md)
     p.add_argument("--scan_unroll", type=int, default=1)
+    p.add_argument("--view_concat", type=str, default="off",
+                   choices=["off", "on"],
+                   help="dual-view losses as one 2B forward (FedMLP "
+                        "stage 1; joint-BN semantics)")
     p.add_argument("--dw_backend", type=str, default="",
                    choices=["", "conv", "taps", "pallas"],
                    help="EfficientNet depthwise-conv impl (models/"
@@ -198,6 +202,7 @@ def config_from_args(a) -> Config:
         compute_dtype=a.compute_dtype,
         scan_unroll=a.scan_unroll,
         dw_backend=a.dw_backend,
+        view_concat=a.view_concat,
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,
         weight_stream=a.weight_stream,

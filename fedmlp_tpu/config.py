@@ -202,6 +202,13 @@ class Config:
     # engine: unroll factor of the local-step lax.scan (trades compile time
     # and code size for less while-loop bookkeeping + cross-step scheduling)
     scan_unroll: int = 1
+    # engine: run dual-view losses as one 2B forward when the algorithm
+    # provides a loss_fn_viewcat (FedMLP stage 1). Halves the conv op
+    # count of the op-issue-bound flagship program; BN batch stats are
+    # computed jointly over both views (deviates from the reference's two
+    # sequential forwards, utils/local_training.py:937-947) — off by
+    # default, A/B'd in BENCH_NOTES
+    view_concat: str = "off"
     # engine: depthwise-conv implementation for the EfficientNet family —
     # '' (XLA grouped conv, measured-best), 'taps', or 'pallas' (XLA
     # forward + Pallas padded-window backward, ops/dw_pallas.py; per-op

@@ -186,6 +186,11 @@ class Trainer:
             else None
         )
         self.algo = algo_registry.get_algorithm(cfg.algorithm)
+        algo_loss = self.algo.loss_fn
+        if (cfg.view_concat == "on"
+                and hasattr(self.algo, "loss_fn_viewcat")):
+            algo_loss = self.algo.loss_fn_viewcat
+            log.info("engine: dual views concatenated into one 2B forward")
         if self._use_stacked():
             self.round_fn = rt.make_stacked_local_round(
                 self.model,
@@ -205,7 +210,7 @@ class Trainer:
         elif self._use_lockstep():
             self.round_fn = rt.make_lockstep_local_round(
                 self.model,
-                self.algo.loss_fn,
+                algo_loss,
                 lr=cfg.base_lr,
                 batch_size=cfg.batch_size,
                 mean=cfg.data.mean,
@@ -222,7 +227,7 @@ class Trainer:
         else:
             self.round_fn = rt.make_local_round(
                 self.model,
-                self.algo.loss_fn,
+                algo_loss,
                 lr=cfg.base_lr,
                 batch_size=cfg.batch_size,
                 mean=cfg.data.mean,

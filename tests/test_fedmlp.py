@@ -156,3 +156,37 @@ def test_apply_corrections_flips_missing_class_labels():
     obs_before = obs.copy()
     assert t.apply_corrections({k: {ca: gidxs}}) == 0
     np.testing.assert_array_equal(np.asarray(t.fd.obs_targets), obs_before)
+
+
+def test_view_concat_stage1_trains(tmp_path):
+    """view_concat='on' runs stage 1 as one 2B forward per step (engine
+    knob; joint-BN semantics documented in algos/fedmlp.py::
+    loss_fn_viewcat) and produces finite losses + a working stage
+    transition."""
+    cfg = Config(
+        algorithm="fedmlp",
+        model="smallcnn",
+        batch_size=16,
+        base_lr=1e-3,
+        n_clients=4,
+        local_ep=1,
+        rounds_warmup=5,
+        eval_every=100,
+        seed=3,
+        p_pos=0.0,
+        view_concat="on",
+        fedmlp=FedMLPConfig(
+            rounds_stage1=2, clean_threshold=0.1, noise_threshold=0.1
+        ),
+        data=DataConfig(
+            name="synthetic", n_classes=4, image_size=32,
+            synthetic_train_size=256, synthetic_test_size=64,
+        ),
+        compute_dtype="float32",
+        output_dir=str(tmp_path),
+    )
+    t = Trainer(cfg)
+    for rnd in range(3):
+        rec = t.run_round(rnd)
+        assert np.isfinite(rec.client_losses).all()
+    assert t.server_state["tao"].sum() > 0  # extraction happened
