@@ -25,38 +25,42 @@ from fedmlp_tpu.data.datasets import make_synthetic_dataset  # noqa: E402
 
 
 def write_split(out_dir: str, n: int, n_classes: int, size: int, seed: int,
-                chunk: int = 4096) -> None:
+                chunk: int = 1024) -> None:
+    """Chunked sequential writes sized for this box's constraints: ONE
+    host core behind a high-syscall-overhead sandbox (100% system time).
+    MT19937 byte generation measured 0.9 MB/s and per-page memmap faults
+    9 MB/s here, so the pixel pool is a 1 MB true-random block tiled at
+    memcpy speed and re-sliced at a varying offset per chunk, and the
+    .npy is written with plain buffered file writes (disk does 354 MB/s).
+    The loader/engine treat pixel bytes opaquely — only the planted
+    class-band signal (channel band set to 255 for positives) carries
+    label information."""
     os.makedirs(out_dir, exist_ok=True)
-    images = np.lib.format.open_memmap(
-        os.path.join(out_dir, "images.npy"), mode="w+", dtype=np.uint8,
-        shape=(n, size, size, 3),
-    )
     targets = np.zeros((n, n_classes), np.float32)
     rng = np.random.RandomState(seed)
     class_probs = np.linspace(0.08, 0.4, n_classes)
     band = max(2, size // n_classes)
-    # one pooled random block re-sliced at random byte offsets per chunk:
-    # MT19937 byte generation is the bottleneck at this volume (~6 MB/s
-    # end-to-end measured on the first 185k build attempt vs 354 MB/s
-    # disk), and the loader/engine treat the pixel bytes opaquely — only
-    # the planted class-band signal carries label information
     img_bytes = size * size * 3
-    pool = np.frombuffer(rng.bytes(chunk * img_bytes + (1 << 20)), np.uint8)
-    for s in range(0, n, chunk):
-        m = min(chunk, n - s)
-        off = int(rng.randint(0, (1 << 20) - 1))
-        imgs = pool[off : off + m * img_bytes].reshape(
-            m, size, size, 3).copy()
-        tgt = (rng.rand(m, n_classes) < class_probs[None, :]).astype(np.float32)
-        for c in range(n_classes):
-            r0 = (c * band) % max(1, size - band)
-            pos = tgt[:, c] == 1
-            sl = imgs[:, r0 : r0 + band, :, c % 3]
-            np.copyto(sl, np.where(sl > 105, 255, sl + 150),
-                      where=pos[:, None, None])
-        images[s : s + m] = imgs
-        targets[s : s + m] = tgt
-    images.flush()
+    seedblk = np.frombuffer(rng.bytes(1 << 20), np.uint8)
+    reps = (chunk * img_bytes) // (1 << 20) + 3
+    pool = np.tile(seedblk, reps)
+    path = os.path.join(out_dir, "images.npy")
+    with open(path, "wb") as f:
+        np.lib.format.write_array_header_1_0(
+            f, {"descr": "|u1", "fortran_order": False,
+                "shape": (n, size, size, 3)})
+        for s in range(0, n, chunk):
+            m = min(chunk, n - s)
+            off = int(rng.randint(0, (1 << 20) - 1))
+            imgs = pool[off : off + m * img_bytes].reshape(
+                m, size, size, 3).copy()
+            tgt = (rng.rand(m, n_classes) <
+                   class_probs[None, :]).astype(np.float32)
+            for c in range(n_classes):
+                r0 = (c * band) % max(1, size - band)
+                imgs[tgt[:, c] == 1, r0 : r0 + band, :, c % 3] = 255
+            f.write(imgs.data)  # C-contiguous: zero-copy buffered write
+            targets[s : s + m] = tgt
     np.save(os.path.join(out_dir, "targets.npy"), targets)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"class_names": [f"c{i}" for i in range(n_classes)],
