@@ -1,9 +1,8 @@
 #!/usr/bin/env python
-"""Generate a CXR-scale synthetic packed shard on disk (chunked writes via
-np.open_memmap — the images never sit in RAM whole). Used by the full-scale
-host-stream dress rehearsal: a dataset shaped like the reference's
-ChestXray14 train split (reference: dataset/all_dataset.py:10-49 at ~78k
-PA images, 224px) that cannot reasonably live in HBM.
+"""Generate a CXR-scale synthetic packed shard on disk. Used by the
+full-scale host-stream dress rehearsal: a dataset shaped like the
+reference's ChestXray14 train split (reference: dataset/all_dataset.py:
+10-49 at ~78k PA images, 224px) that cannot reasonably live in HBM.
 
 Usage:
   python tools/make_synth_shard.py --out /tmp/cxr_scale --train 50000 \
@@ -13,28 +12,83 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import io
 import json
+import mmap
 import os
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from fedmlp_tpu.data.datasets import make_synthetic_dataset  # noqa: E402
+_ALIGN = 4096
+
+
+class DirectFileWriter:
+    """Sequential file writer via O_DIRECT with an aligned staging buffer.
+
+    This box exposes ONE host core behind a sandbox whose page-cache
+    accounting makes buffered I/O pathological (measured: buffered
+    f.write 8-13 MB/s at 100% system time; O_DIRECT 708 MB/s; fresh-page
+    numpy allocation 13 MB/s; warm-buffer copyto 4.9 GB/s; MT19937
+    0.9 MB/s). So: stage bytes in ONE warm mmap-backed page-aligned
+    buffer, flush it with O_DIRECT writes (alignment satisfied by
+    construction), and ftruncate the tail pad away at close."""
+
+    def __init__(self, path: str, bufsize: int = 64 << 20):
+        assert bufsize % _ALIGN == 0
+        self.fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC
+                          | os.O_DIRECT, 0o644)
+        self._mm = mmap.mmap(-1, bufsize)  # page-aligned by the kernel
+        self._view = memoryview(self._mm)
+        self._arr = np.frombuffer(self._mm, np.uint8)
+        self._arr[:] = 0  # fault pages in once
+        self.bufsize = bufsize
+        self.fill = 0
+        self.written = 0
+
+    def _flush(self, nbytes: int) -> None:
+        off = 0
+        while off < nbytes:
+            off += os.write(self.fd, self._view[off:nbytes])
+
+    def write(self, data) -> None:
+        src = np.frombuffer(data, np.uint8)
+        n, off = src.size, 0
+        while off < n:
+            take = min(self.bufsize - self.fill, n - off)
+            np.copyto(self._arr[self.fill:self.fill + take],
+                      src[off:off + take])
+            self.fill += take
+            off += take
+            if self.fill == self.bufsize:
+                self._flush(self.bufsize)
+                self.written += self.bufsize
+                self.fill = 0
+
+    def close(self) -> None:
+        if self.fill:
+            pad = (-self.fill) % _ALIGN
+            self._arr[self.fill:self.fill + pad] = 0
+            self._flush(self.fill + pad)
+            self.written += self.fill
+        os.ftruncate(self.fd, self.written)
+        os.close(self.fd)
+        del self._arr  # drop the exported buffer refs before mm.close
+        self._view.release()
+        self._mm.close()
 
 
 def write_split(out_dir: str, n: int, n_classes: int, size: int, seed: int,
                 chunk: int = 1024) -> None:
-    """Chunked sequential writes sized for this box's constraints: ONE
-    host core behind a high-syscall-overhead sandbox (100% system time).
-    MT19937 byte generation measured 0.9 MB/s and per-page memmap faults
-    9 MB/s here, so the pixel pool is a 1 MB true-random block tiled at
-    memcpy speed and re-sliced at a varying offset per chunk, and the
-    .npy is written with plain buffered file writes (disk does 354 MB/s).
-    The loader/engine treat pixel bytes opaquely — only the planted
-    class-band signal (channel band set to 255 for positives) carries
-    label information."""
+    """Chunked sequential writes through DirectFileWriter. The pixel pool
+    is a 1 MB true-random block tiled at memcpy speed and re-sliced at a
+    varying offset per chunk into ONE preallocated warm buffer. The
+    loader/engine treat pixel bytes opaquely — only the planted
+    class-band signal (rows set to 255 for positives) carries label
+    information."""
     os.makedirs(out_dir, exist_ok=True)
     targets = np.zeros((n, n_classes), np.float32)
     rng = np.random.RandomState(seed)
@@ -44,23 +98,32 @@ def write_split(out_dir: str, n: int, n_classes: int, size: int, seed: int,
     seedblk = np.frombuffer(rng.bytes(1 << 20), np.uint8)
     reps = (chunk * img_bytes) // (1 << 20) + 3
     pool = np.tile(seedblk, reps)
-    path = os.path.join(out_dir, "images.npy")
-    with open(path, "wb") as f:
-        np.lib.format.write_array_header_1_0(
-            f, {"descr": "|u1", "fortran_order": False,
-                "shape": (n, size, size, 3)})
+    buf = np.empty((chunk, size, size, 3), np.uint8)
+    buf[:] = 0  # fault the pages in ONCE; chunks reuse the warm buffer
+    hdr = io.BytesIO()
+    np.lib.format.write_array_header_1_0(
+        hdr, {"descr": "|u1", "fortran_order": False,
+              "shape": (n, size, size, 3)})
+    w = DirectFileWriter(os.path.join(out_dir, "images.npy"))
+    try:
+        w.write(hdr.getvalue())
         for s in range(0, n, chunk):
             m = min(chunk, n - s)
             off = int(rng.randint(0, (1 << 20) - 1))
-            imgs = pool[off : off + m * img_bytes].reshape(
-                m, size, size, 3).copy()
+            imgs = buf[:m]
+            np.copyto(imgs.reshape(-1), pool[off : off + m * img_bytes])
             tgt = (rng.rand(m, n_classes) <
                    class_probs[None, :]).astype(np.float32)
             for c in range(n_classes):
+                # contiguous all-channel band: class identity is coded by
+                # ROW position (bands are disjoint: c*band strides); a
+                # per-channel strided store measured ~4 MB/s on this host
                 r0 = (c * band) % max(1, size - band)
-                imgs[tgt[:, c] == 1, r0 : r0 + band, :, c % 3] = 255
-            f.write(imgs.data)  # C-contiguous: zero-copy buffered write
+                imgs[tgt[:, c] == 1, r0 : r0 + band] = 255
+            w.write(imgs)
             targets[s : s + m] = tgt
+    finally:
+        w.close()
     np.save(os.path.join(out_dir, "targets.npy"), targets)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"class_names": [f"c{i}" for i in range(n_classes)],
@@ -76,10 +139,13 @@ def main():
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--seed", type=int, default=1037)
     a = p.parse_args()
-    write_split(os.path.join(a.out, "train"), a.train, a.classes, a.size, a.seed)
+    t0 = time.time()
+    write_split(os.path.join(a.out, "train"), a.train, a.classes, a.size,
+                a.seed)
     write_split(os.path.join(a.out, "test"), a.test, a.classes, a.size,
                 a.seed + 10_000_000)
-    print(f"wrote {a.train}+{a.test} packed images under {a.out}")
+    print(f"wrote {a.train}+{a.test} packed images under {a.out} "
+          f"in {time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":
