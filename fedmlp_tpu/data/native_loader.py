@@ -66,9 +66,11 @@ def _npy_header_bytes(path: str) -> tuple[int, tuple, np.dtype]:
 class PackLoader:
     """Threaded batch gathers from a packed uint8 .npy on disk."""
 
-    def __init__(self, npy_path: str, n_threads: int = 8):
+    def __init__(self, npy_path: str, n_threads: int = 8,
+                 reuse_buffers: bool = False):
         self.path = npy_path
         self.n_threads = n_threads
+        self.reuse = reuse_buffers
         header, shape, dtype = _npy_header_bytes(npy_path)
         assert dtype == np.uint8, "packed image shards must be uint8"
         self.shape = shape
@@ -85,6 +87,20 @@ class PackLoader:
         if self._handle is None:
             # numpy mmap fallback
             self._mm = np.load(npy_path, mmap_mode="r")
+        # Persistent output buffers: this host faults fresh pages at
+        # ~13 MB/s (single-core sandbox), so allocating a new np.empty per
+        # gather costs more than the disk read itself. Buffers are reused
+        # ping-pong; a returned array is only valid until the next-but-one
+        # call (callers immediately device_put, see train.py windowed pass).
+        self._bufs: dict = {}
+
+    def _out_buf(self, tag: str, nrows: int) -> np.ndarray:
+        key = (tag, nrows)
+        buf = self._bufs.get(key)
+        if buf is None:
+            buf = np.empty((nrows,) + tuple(self.row_shape), np.uint8)
+            self._bufs[key] = buf
+        return buf
 
     @property
     def native(self) -> bool:
@@ -92,7 +108,8 @@ class PackLoader:
 
     def gather(self, indices: np.ndarray) -> np.ndarray:
         idx = np.ascontiguousarray(indices.reshape(-1), np.int64)
-        out = np.empty((len(idx),) + tuple(self.row_shape), np.uint8)
+        out = (self._out_buf("gather", len(idx)) if self.reuse
+               else np.empty((len(idx),) + tuple(self.row_shape), np.uint8))
         if self._handle is not None:
             rc = self._lib.pl_gather(
                 self._handle,
@@ -127,7 +144,8 @@ class PackLoader:
     def wait(self) -> np.ndarray:
         if self._handle is not None:
             shape, n = self._pending
-            out = np.empty((n,) + tuple(self.row_shape), np.uint8)
+            out = (self._out_buf("wait", n) if self.reuse
+                   else np.empty((n,) + tuple(self.row_shape), np.uint8))
             got = self._lib.pl_wait(
                 self._handle,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -1117,8 +1117,13 @@ def make_harvest_fn(model, mean, std, batch_size: int,
                 chunk = loader.wait()
                 if j + 1 < nb:
                     loader.submit(gidx[:, j + 1])  # prefetch next chunk
+                chunk_j = jnp.asarray(chunk)
+                if getattr(loader, "reuse", False):
+                    # reused host buffer: transfer must land before the
+                    # next wait() overwrites it
+                    chunk_j.block_until_ready()
                 f, p = forward_one_chunk(
-                    stacked_vars, jnp.asarray(chunk),
+                    stacked_vars, chunk_j,
                     jax.random.fold_in(key, j),
                 )
                 feats_l.append(f)

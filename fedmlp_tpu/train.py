@@ -138,7 +138,13 @@ class Trainer:
                 "host_stream requires a packed images.npy (data.root or "
                 "Trainer(images_npy=...))"
             )
-            self.loader = PackLoader(npy)
+            # Reused output buffers avoid this host's pathological
+            # fresh-page fault cost (~13 MB/s); safe only when jnp.asarray
+            # copies to a real device (CPU backend may alias numpy memory),
+            # and every consumer blocks on the transfer before the next
+            # same-shape load can overwrite the buffer.
+            self.loader = PackLoader(
+                npy, reuse_buffers=jax.default_backend() != "cpu")
         self.fd = rt.build_federated_data(
             self.train_ds.images, self.train_ds.targets, self.dict_users,
             self.hidden, self.active_lists,
@@ -390,6 +396,8 @@ class Trainer:
                     pos, pos_valid, sub, W,
                 )
             imgs = jnp.asarray(self.loader.gather(gidx.astype(np.int64)))
+            if self.loader.reuse:
+                imgs.block_until_ready()
             sample = rt.gather_round_samples(self.fd.idx, sample_arrays, pos_j)
         else:
             imgs, sample = rt.gather_round_data(
@@ -433,8 +441,12 @@ class Trainer:
             chunk = self.loader.wait()
             if w1 < S:
                 self.loader.submit(gidx[w1:min(w1 + W, S)])
+            imgs = jnp.asarray(chunk)
+            if self.loader.reuse:
+                # transfer must land before the next wait() reuses the buffer
+                imgs.block_until_ready()
             plan = {
-                "images": jnp.asarray(chunk),
+                "images": imgs,
                 "sample": jax.tree_util.tree_map(
                     lambda x: x[w0:w1], sample),
                 "pos": pos_j[w0:w1],
