@@ -37,12 +37,41 @@ def bce_with_logits(logits, targets, pos_weight=None):
     return -(pw * targets * log_p + (1.0 - targets) * log_not_p)
 
 
-def bce_on_probs(probs, targets, weight=None):
-    """Elementwise BCE on probabilities, torch F.binary_cross_entropy
-    semantics incl. the -100 log clamp (reference: utils/FedNoRo.py:22)."""
+@jax.custom_vjp
+def _bce_on_probs_core(probs, targets):
     log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
     log_not_p = jnp.maximum(jnp.log(1.0 - probs), _LOG_CLAMP)
-    loss = -(targets * log_p + (1.0 - targets) * log_not_p)
+    return -(targets * log_p + (1.0 - targets) * log_not_p)
+
+
+def _bce_core_fwd(probs, targets):
+    return _bce_on_probs_core(probs, targets), (probs, targets)
+
+
+def _bce_core_bwd(res, g):
+    # torch binary_cross_entropy_backward: (p - y) / max(p·(1-p), 1e-12).
+    # Autodiff through the -100 log clamp is NOT safe: at p ∈ {0, 1} exactly
+    # (sigmoid saturates at |logit| ≳ 16.6 in f32) the chain rule evaluates
+    # 0 · ∞ = NaN, which poisoned long local epochs (290-step FedMLP stage-1
+    # rounds NaN'd at the first saturated logit). Torch's formula is finite
+    # everywhere, and composed with sigmoid's backward (× p·(1-p)) the
+    # saturated-logit gradient is exactly 0 — verified against torch 2.x.
+    p, y = res
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)
+    dp = g * (p - y) / denom
+    dy = g * (jnp.maximum(jnp.log(1.0 - p), _LOG_CLAMP)
+              - jnp.maximum(jnp.log(p), _LOG_CLAMP))
+    return dp, dy
+
+
+_bce_on_probs_core.defvjp(_bce_core_fwd, _bce_core_bwd)
+
+
+def bce_on_probs(probs, targets, weight=None):
+    """Elementwise BCE on probabilities, torch F.binary_cross_entropy
+    semantics incl. the -100 log clamp (reference: utils/FedNoRo.py:22) and
+    torch's saturation-safe backward (see ``_bce_core_bwd``)."""
+    loss = _bce_on_probs_core(probs, targets)
     if weight is not None:
         loss = loss * weight
     return loss

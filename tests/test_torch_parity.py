@@ -51,6 +51,39 @@ def test_bce_on_probs_matches_torch_including_log_clamp(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_bce_on_probs_grad_matches_torch_at_saturation(rng):
+    """Backward parity incl. saturated probabilities. Autodiff through the
+    -100 log clamp yields NaN at p ∈ {0,1} (0·∞ chain rule); torch's
+    backward is (p-y)/max(p(1-p), 1e-12) — bce_on_probs carries that as a
+    custom VJP. Saturation is reachable: sigmoid(x) == 1.0 exactly in f32
+    for x ≳ 16.7, which long FedMLP stage-1 local epochs produce."""
+    probs = rng.rand(8, 4).astype(np.float32)
+    probs[0, 0] = 0.0
+    probs[1, 1] = 1.0
+    probs[2, 2] = 1.0 - np.float32(1e-7)
+    targets = (rng.rand(8, 4) > 0.5).astype(np.float32)
+    targets[0, 0] = 1.0  # p=0, y=1: worst case
+    targets[1, 1] = 0.0  # p=1, y=0: worst case
+
+    ours = np.asarray(jax.grad(
+        lambda p: L.bce_on_probs(p, jnp.asarray(targets)).sum()
+    )(jnp.asarray(probs)))
+    tp = torch.from_numpy(probs).requires_grad_(True)
+    torch.nn.functional.binary_cross_entropy(
+        tp, torch.from_numpy(targets), reduction="sum").backward()
+    ref = tp.grad.numpy()
+    assert np.all(np.isfinite(ours))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+    # composed with sigmoid: the saturated-logit gradient must be exactly 0
+    logits = jnp.asarray([[25.0, -120.0, 2.0]], jnp.float32)
+    y = jnp.asarray([[0.0, 1.0, 1.0]], jnp.float32)
+    g = np.asarray(jax.grad(
+        lambda x: L.bce_on_probs(jax.nn.sigmoid(x), y).sum())(logits))
+    assert np.all(np.isfinite(g))
+    assert g[0, 0] == 0.0 and g[0, 1] == 0.0 and g[0, 2] != 0.0
+
+
 @pytest.mark.parametrize("weight_decay", [0.0, 5e-4])
 def test_torch_adam_matches_torch_step_for_step(rng, weight_decay):
     """torch Adam folds L2 into the gradient BEFORE the moment updates
