@@ -436,6 +436,7 @@ class Trainer:
         self.loader.submit(gidx[:W])
         losses = None
         w0 = 0
+        prev_losses = None
         while w0 < S:
             w1 = min(w0 + W, S)
             chunk = self.loader.wait()
@@ -456,7 +457,18 @@ class Trainer:
                 "key": key,
                 "iter0": jnp.float32(self.iter_num),
             }
+            if prev_losses is not None:
+                # Depth-2 dispatch bound: without this every window's
+                # device_put + step enqueues immediately and each pending
+                # step pins its ~W·K·B-image buffers (on the tunneled
+                # backend device buffers carry host shadows — an ICH-scale
+                # round grew host RSS by ~57 GB). Blocking on window w-1's
+                # losses before dispatching w+1 keeps at most two windows
+                # in flight while disk prefetch and the w'th transfer
+                # still overlap the w-1'th compute.
+                jax.block_until_ready(prev_losses)
             state, losses, _ = round_fn(state, data, plan, scalars)
+            prev_losses = losses
             w0 = w1
         self.iter_num += S
         return {"vars": state["vars"]}, losses, {}
