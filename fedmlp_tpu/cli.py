@@ -135,6 +135,9 @@ def args_parser(argv=None):
                    choices=["off", "on"],
                    help="dual-view losses as one 2B forward (FedMLP "
                         "stage 1; joint-BN semantics)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize backbone blocks in the backward "
+                        "pass (EfficientNet family; byte reduction)")
     p.add_argument("--dw_backend", type=str, default="",
                    choices=["", "conv", "taps", "pallas"],
                    help="EfficientNet depthwise-conv impl (models/"
@@ -202,6 +205,7 @@ def config_from_args(a) -> Config:
         compute_dtype=a.compute_dtype,
         scan_unroll=a.scan_unroll,
         dw_backend=a.dw_backend,
+        remat=a.remat,
         view_concat=a.view_concat,
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,

@@ -209,6 +209,13 @@ class Config:
     # sequential forwards, utils/local_training.py:937-947) — off by
     # default, A/B'd in BENCH_NOTES
     view_concat: str = "off"
+    # engine: rematerialize backbone blocks in the backward pass
+    # (EfficientNet/ResNet/SENet families) — saves only block inputs as
+    # residuals and recomputes the internals during the gradient.
+    # Measured NEUTRAL on the flagship round (1.0009x, BENCH_NOTES
+    # attack 4): recompute FLOPs are free but bytes are unchanged at
+    # 224px activation sizes. Value is MEMORY headroom, not speed.
+    remat: int = 0
     # engine: depthwise-conv implementation for the EfficientNet family —
     # '' (XLA grouped conv, measured-best), 'taps', or 'pallas' (XLA
     # forward + Pallas padded-window backward, ops/dw_pallas.py; per-op

@@ -148,6 +148,14 @@ class EfficientNet(nn.Module):
     dropout_p: float = 0.2        # variant rate (set by the factory)
     drop_connect_rate: float = 0.2  # lukemelas global_params default
     dw_backend: str = "conv"      # see MBConv.dw_backend
+    # Rematerialize each MBConv block in the backward pass: only block
+    # INPUTS are saved as residuals; the 6x-expanded internals (expand/dw/
+    # SE activations) are recomputed during the gradient. Pure byte
+    # reduction for the HBM-bandwidth-bound training step at ~+1/3 forward
+    # FLOPs (idle on this slice: 8 of ~200 TFLOP/s achieved). prevent_cse
+    # is off — the step runs inside lax.scan/lax.map where XLA CSE across
+    # the remat boundary is not a hazard and the barrier costs scheduling.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -170,11 +178,15 @@ class EfficientNet(nn.Module):
         in_ch = stem
         n_blocks = sum(_round_repeats(reps, self.depth_mult)
                        for _, _, reps, _, _ in self.blocks)
+        # static_argnums=(2,): (self, x, stochastic) — the python-bool
+        # branch flag must stay compile-time static under the lift
+        block_cls = (nn.remat(MBConv, static_argnums=(2,), prevent_cse=False)
+                     if self.remat else MBConv)
         gi = 0  # global block index scales the stochastic-depth rate
         for bi, (expand, ch, reps, stride, kernel) in enumerate(self.blocks):
             out_ch = _round_filters(ch, self.width_mult)
             for r in range(_round_repeats(reps, self.depth_mult)):
-                x = MBConv(
+                x = block_cls(
                     in_ch=in_ch,
                     out_ch=out_ch,
                     expand=expand,
@@ -185,7 +197,7 @@ class EfficientNet(nn.Module):
                     drop_rate=self.drop_connect_rate * gi / n_blocks,
                     dw_backend=self.dw_backend,
                     name=f"block{bi}_{r}",
-                )(x, stochastic=stochastic)
+                )(x, stochastic)  # positional: arg 2 is static under remat
                 in_ch = out_ch
                 gi += 1
         head_ch = _round_filters(1280, self.width_mult)

@@ -72,13 +72,16 @@ def build_model(
     compute_dtype=jnp.bfloat16,
     normed_head: bool = False,
     dw_backend: str | None = None,
+    remat: bool = False,
 ):
     """Return the Flax module for ``name`` with an ``num_classes``-way head
     (reference: model/build_model.py:5-9 = get_model + modify_last_layer).
 
     ``dw_backend`` selects the depthwise-conv implementation for the
     EfficientNet family (see MBConv.dw_backend); ignored for other
-    architectures."""
+    architectures. ``remat`` rematerializes backbone blocks in the
+    backward pass (EfficientNet + ResNet/SE-ResNet families; see
+    EfficientNet.remat / ResNet.remat)."""
     key = _canon(name)
     if key not in MODEL_REGISTRY:
         raise ValueError(f"Name of model unknown {name}")
@@ -86,6 +89,9 @@ def build_model(
     kw = {}
     if dw_backend and key.startswith("efficient_b"):
         kw["dw_backend"] = dw_backend
+    if remat and (key.startswith("efficient_b") or key.startswith("resnet")
+                  or key in ("senet50", "senet101", "senet152")):
+        kw["remat"] = True
     return ctor(num_classes, dtype=compute_dtype, normed_head=normed_head,
                 **kw)
 

@@ -95,6 +95,11 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     normed_head: bool = False
     se_ratio: float = 0.0
+    # Rematerialize each residual block in the backward pass: only block
+    # inputs are saved as grad residuals; internals are recomputed during
+    # the gradient (byte reduction for the HBM-bound training step — see
+    # EfficientNet.remat for the measured rationale).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -112,10 +117,12 @@ class ResNet(nn.Module):
         x = norm(name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        block_cls = (nn.remat(self.block_cls, prevent_cse=False)
+                     if self.remat else self.block_cls)
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = self.block_cls(
+                x = block_cls(
                     filters=64 * 2 ** i,
                     strides=strides,
                     conv=conv,

@@ -162,7 +162,8 @@ class Trainer:
         # ---- model ----
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = build_model(cfg.model, cfg.n_classes, compute_dtype=dtype,
-                                 dw_backend=cfg.dw_backend or None)
+                                 dw_backend=cfg.dw_backend or None,
+                                 remat=bool(cfg.remat))
         self.global_vars = init_model(
             self.model, jax.random.PRNGKey(cfg.seed), cfg.data.image_size,
             batch=2,

@@ -39,6 +39,7 @@ VARIANTS = {
     "base2": {},  # repeat-of-base slot for drift-bracketed A/B/A runs
     "dw_pallas": {"dw_backend": "pallas"},
     "dw_taps": {"dw_backend": "taps"},
+    "remat": {"remat": 1},
 }
 
 
