@@ -31,11 +31,15 @@ import time
 import numpy as np
 
 
-def _bench_fedmlp(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
+def _bench_fedmlp(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE,
+                  n_classes=8, label=None):
     """Flagship two-stage FedMLP: R timed stage-1 rounds then R timed
     stage-2 rounds (two warm-up rounds per stage compile + settle the
     backend). Round indices drive the stage switch, so the schedule is
-    warm1 warm1 timed1×R | warm2 warm2 timed2×R."""
+    warm1 warm1 timed1×R | warm2 warm2 timed2×R.
+
+    n_classes parametrizes dataset geometry for the BASELINE ladder
+    (8 = ChestXray14, 5 = ICH — tools/ladder.py)."""
     from fedmlp_tpu.config import Config, DataConfig, FedMLPConfig
     from fedmlp_tpu.train import Trainer
 
@@ -59,7 +63,7 @@ def _bench_fedmlp(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
         fedmlp=FedMLPConfig(rounds_stage1=stage1_rounds),
         data=DataConfig(
             name="synthetic",
-            n_classes=8,  # ChestXray14 geometry (the target names it)
+            n_classes=n_classes,  # 8 = ChestXray14 geometry (the target)
             image_size=SIZE,
             synthetic_train_size=N,
             synthetic_test_size=64,
@@ -125,18 +129,24 @@ def _bench_fedmlp(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
         "settle_s": [[round(x, 2) for x in w] for w in (w1, w2)],
         "imgs_per_round": imgs_per_round,
         "config": {"algo": "fedmlp", "model": MODEL, "batch": B,
-                   "clients": K, "image": SIZE, "rounds_per_stage": R,
+                   "clients": K, "image": SIZE, "classes": n_classes,
+                   "rounds_per_stage": R, "label": label,
                    "engine": ("lockstep" if t._use_lockstep() else "mapped")},
     }
 
 
-def _bench_fedavg(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
-    """Rounds-1/2 proxy config: 4-client FedAvg, single view."""
+def _bench_fedavg(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE,
+                  algo="fedavg", n_classes=5, p_pos=1.0, label=None):
+    """Rounds-1/2 proxy config: 4-client FedAvg, single view.
+
+    algo/n_classes/p_pos parametrize the single-stage baselines for the
+    BASELINE ladder (tools/ladder.py): fedavg full-label ICH, fednoro /
+    fixmatch task-heterogeneous ChestXray14, centralized single-client."""
     from fedmlp_tpu.config import Config, DataConfig
     from fedmlp_tpu.train import Trainer
 
     cfg = Config(
-        algorithm="fedavg",
+        algorithm=algo,
         model=MODEL,
         batch_size=B,
         base_lr=3e-5,
@@ -145,10 +155,10 @@ def _bench_fedavg(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
         rounds_warmup=5 * ROUNDS + 2,
         eval_every=10_000,
         seed=1037,
-        p_pos=1.0,
+        p_pos=p_pos,
         data=DataConfig(
             name="synthetic",
-            n_classes=5,
+            n_classes=n_classes,
             image_size=SIZE,
             synthetic_train_size=N,
             synthetic_test_size=64,
@@ -176,14 +186,24 @@ def _bench_fedavg(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
         rnd += 1
 
     # ---- phase B: pipelined rounds, one final sync ----
+    # the manual fast path skips run_round's per-round host sync
+    # (np.asarray on the losses) but also its custom_round/server_update
+    # dispatch — only valid for plain FedAvg-family algorithms
+    plain = not (hasattr(t.algo, "custom_round")
+                 or hasattr(t.algo, "server_update"))
+
     def pipelined(n):
         nonlocal rnd
         t0 = time.perf_counter()
         for _ in range(n):
-            state, _losses, _ = t.local_pass(
-                t.round_fn, {"labels": t.fd.obs_targets}, t.round_scalars(rnd)
-            )
-            t.global_vars = t.aggregate(state["vars"], t.dict_len)
+            if plain:
+                state, _losses, _ = t.local_pass(
+                    t.round_fn, {"labels": t.fd.obs_targets},
+                    t.round_scalars(rnd),
+                )
+                t.global_vars = t.aggregate(state["vars"], t.dict_len)
+            else:
+                t.run_round(rnd)
             rnd += 1
         jax.block_until_ready(t.global_vars["params"])
         return (time.perf_counter() - t0) / n
@@ -215,8 +235,9 @@ def _bench_fedavg(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE):
             float(np.percentile(times, 75) - np.percentile(times, 25)), 4
         ),
         "imgs_per_round": imgs_per_round,
-        "config": {"algo": "fedavg", "model": MODEL, "batch": B,
-                   "clients": K, "image": SIZE, "rounds": ROUNDS},
+        "config": {"algo": algo, "model": MODEL, "batch": B,
+                   "clients": K, "image": SIZE, "classes": n_classes,
+                   "p_pos": p_pos, "rounds": ROUNDS, "label": label},
     }
 
 

@@ -120,6 +120,11 @@ def args_parser(argv=None):
     p.add_argument("--host_stream", type=int, default=0,
                    help="stream training batches from the packed shard via "
                         "the native loader; dataset never resident in HBM")
+    p.add_argument("--stream_window", type=int, default=0,
+                   help="with --host_stream: run each round in W-step "
+                        "windows so only W*K*B images are device-resident "
+                        "(0 = whole round at once); windowed == unwindowed "
+                        "exactly (tests/test_stream_window.py)")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--exp_tag", type=str, default="")
     p.add_argument("--eval_every", type=int, default=10)
@@ -174,6 +179,10 @@ def config_from_args(a) -> Config:
         if not a.data_root:
             raise SystemExit("--host_stream requires --data_root (packed shard)")
         data = DataConfig(**{**data.__dict__, "host_stream": True})
+    if a.stream_window:
+        if not a.host_stream:
+            raise SystemExit("--stream_window requires --host_stream")
+        data = DataConfig(**{**data.__dict__, "stream_window": a.stream_window})
     if a.dataset.lower() == "synthetic":
         data = DataConfig(**{
             **data.__dict__,

@@ -33,6 +33,22 @@ def test_cli_fixmatch_alias():
     assert cfg.algorithm == "fixmatch"
 
 
+def test_cli_stream_window_mapping(tmp_path):
+    a = args_parser(
+        ["--exp", "FedAVG", "--dataset", "ICH", "--data_root", str(tmp_path),
+         "--host_stream", "1", "--stream_window", "4"]
+    )
+    cfg = config_from_args(a)
+    assert cfg.data.host_stream and cfg.data.stream_window == 4
+    # stream_window without host_stream is a config error
+    a = args_parser(
+        ["--exp", "FedAVG", "--dataset", "ICH", "--data_root", str(tmp_path),
+         "--stream_window", "4"]
+    )
+    with pytest.raises(SystemExit):
+        config_from_args(a)
+
+
 def _small_trainer(seed=5):
     cfg = Config(
         algorithm="fedavg", model="smallcnn", batch_size=16, base_lr=1e-3,
