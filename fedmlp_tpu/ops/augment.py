@@ -344,10 +344,17 @@ def normalize(img, mean, std):
     return (img - mean) / std
 
 
-def weak_augment_batch(images_u8, key, mean, std, degrees=10.0, translate=0.02):
-    """Weak view for a batch [B, H, W, 3] uint8 → normalized float32."""
+def weak_augment_batch(images_u8, key, mean, std, degrees=10.0, translate=0.02,
+                       keys=None):
+    """Weak view for a batch [B, H, W, 3] uint8 → normalized float32.
+
+    ``keys`` [B, 2, 2] overrides the internal per-image key derivation —
+    the lockstep engine passes shard-invariant per-(client, image) keys so
+    a client-sharded round consumes identical randomness to the unsharded
+    one (parallel/fl_runtime.py::make_lockstep_local_round)."""
     B = images_u8.shape[0]
-    keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
+    if keys is None:
+        keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
 
     def one(img, ks):
         x = img.astype(jnp.float32)
@@ -359,11 +366,13 @@ def weak_augment_batch(images_u8, key, mean, std, degrees=10.0, translate=0.02):
 
 
 def strong_augment_batch(images_u8, key, mean, std, n=2, m=10,
-                         degrees=10.0, translate=0.02):
+                         degrees=10.0, translate=0.02, keys=None):
     """Strong view: weak geometric prefix + RandAugmentMC + normalize
-    (reference: dataset/dataset.py:70-77)."""
+    (reference: dataset/dataset.py:70-77). ``keys`` [B, 3, 2] overrides the
+    per-image key derivation (see weak_augment_batch)."""
     B = images_u8.shape[0]
-    keys = jax.random.split(key, 3 * B).reshape(B, 3, 2)
+    if keys is None:
+        keys = jax.random.split(key, 3 * B).reshape(B, 3, 2)
 
     def one(img, ks):
         x = img.astype(jnp.float32)

@@ -299,11 +299,15 @@ def fused_warp_normalize(img_u8_planar, params, mean, std,
 
 
 def weak_augment_batch_fused(images_u8, key, mean, std, degrees=10.0,
-                             translate=0.02, use_pallas: bool | None = None):
+                             translate=0.02, use_pallas: bool | None = None,
+                             keys=None):
     """Fused-kernel weak augmentation: same parameter distributions as
-    weak_augment_batch_paeth, flip folded into the affine params."""
+    weak_augment_batch_paeth, flip folded into the affine params.
+    ``keys`` [B, 2, 2] overrides the per-image key derivation (see
+    ops/augment.py::weak_augment_batch)."""
     B, H, W, _ = images_u8.shape
-    keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
+    if keys is None:
+        keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
 
     def one(img, ks):
         k1, k2 = ks[0], ks[1]
@@ -326,13 +330,16 @@ def weak_augment_batch_fused(images_u8, key, mean, std, degrees=10.0,
 
 
 def weak_augment_batch_paeth(images_u8, key, mean, std, degrees=10.0,
-                             translate=0.02, use_pallas: bool | None = None):
+                             translate=0.02, use_pallas: bool | None = None,
+                             keys=None):
     """Drop-in replacement for ops.augment.weak_augment_batch: RandomAffine
     (10°, 2% translate) + RandomHorizontalFlip + Normalize, with the warp
     running as shear passes instead of gathers. Identical parameter
-    distributions (same jax.random consumption order per image)."""
+    distributions (same jax.random consumption order per image).
+    ``keys`` [B, 2, 2] overrides the per-image key derivation."""
     B, H, W, _ = images_u8.shape
-    keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
+    if keys is None:
+        keys = jax.random.split(key, 2 * B).reshape(B, 2, 2)
 
     def one(img, ks):
         k1, k2 = ks[0], ks[1]

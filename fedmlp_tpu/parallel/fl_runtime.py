@@ -234,7 +234,7 @@ def _pick_weak_backend(augment_backend: str):
     * 'normonly'— diagnostic: normalize without warp/flip (perf probes only)
     """
     if augment_backend == "normonly":
-        def weak(imgs, key, mean_, std_):
+        def weak(imgs, key, mean_, std_, keys=None):
             return A.eval_batch(imgs, mean_, std_)
         return weak
     if augment_backend == "gather":
@@ -242,16 +242,16 @@ def _pick_weak_backend(augment_backend: str):
     if augment_backend == "fused":
         from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_fused
 
-        def weak(imgs, key, mean_, std_):
+        def weak(imgs, key, mean_, std_, keys=None):
             return weak_augment_batch_fused(imgs, key, mean_, std_,
-                                            use_pallas=True)
+                                            use_pallas=True, keys=keys)
         return weak
     from fedmlp_tpu.ops.pallas_warp import weak_augment_batch_paeth
 
-    def weak(imgs, key, mean_, std_):
+    def weak(imgs, key, mean_, std_, keys=None):
         return weak_augment_batch_paeth(
             imgs, key, mean_, std_,
-            use_pallas=(augment_backend == "pallas"),
+            use_pallas=(augment_backend == "pallas"), keys=keys,
         )
     return weak
 
@@ -426,11 +426,9 @@ def make_local_round(
     # one chip, sharded across chips via the client mesh axis).
     # ------------------------------------------------------------------
 
-    def client_round(vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
-                     valid_k, ctx_k, global_vars, key_k, iter0, scalars,
-                     data_axis=None):
-        opt_k = tx.init(vars_k["params"])
-
+    def client_round(vars_k, teacher_k, cstate_k, opt_k, imgs_k, sample_k,
+                     pos_k, valid_k, ctx_k, global_vars, key_k, it0, loss0,
+                     cnt0, scalars, data_axis=None):
         def body(carry, xs):
             vars_k, opt_k, teacher_k, cstate_k, key, it, loss_sum, cnt, aux_sum = carry
             imgs, sample, step_pos, step_valid = xs  # [B, ...]
@@ -453,21 +451,25 @@ def make_local_round(
         xs = (imgs_k, sample_k, pos_k, valid_k)  # leading axis S
         aux0 = jax.eval_shape(
             lambda: body(
-                (vars_k, opt_k, teacher_k, cstate_k, key_k, iter0,
-                 jnp.float32(0), jnp.float32(0), None),
+                (vars_k, opt_k, teacher_k, cstate_k, key_k, it0,
+                 loss0, cnt0, None),
                 jax.tree_util.tree_map(lambda x: x[0], xs),
             )[0][8]
         )
         aux0 = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), aux0
         )
-        init = (vars_k, opt_k, teacher_k, cstate_k, key_k, iter0,
-                jnp.float32(0), jnp.float32(0), aux0)
-        (vars_k, _, teacher_k, cstate_k, _, _, loss_sum, cnt, aux_sum), _ = (
+        init = (vars_k, opt_k, teacher_k, cstate_k, key_k, it0,
+                loss0, cnt0, aux0)
+        (vars_k, opt_k, teacher_k, cstate_k, key_k, it, loss_sum, cnt,
+         aux_sum), _ = (
             jax.lax.scan(body, init, xs, unroll=scan_unroll)
         )
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
-        return vars_k, teacher_k, cstate_k, mean_loss, aux_sum
+        return (vars_k, teacher_k, cstate_k, opt_k, key_k, it, loss_sum,
+                cnt, mean_loss, aux_sum)
+
+    _CARRY_KEYS = {"opt", "keys", "it", "loss_sum", "cnt"}
 
     def round_fn(state, data, plan, scalars):
         pos, pos_valid = plan["pos"], plan["pos_valid"]  # [S, K, B]
@@ -477,8 +479,21 @@ def make_local_round(
         cstate = state.get("cstate", jnp.zeros((K, 0)))
         ctx = data["ctx"]
         global_vars = data["global_vars"]
-
-        keys = jax.random.split(plan["key"], K)
+        carry_mode = "opt" in state
+        if carry_mode:
+            # windowed host-stream: per-client Adam/RNG/loss accumulators
+            # arrive from the previous window (teacher/cstate already
+            # thread via their own state entries; aux sums on the host)
+            opt = state["opt"]
+            keys = state["keys"]
+            it0 = state["it"]
+            loss0, cnt0 = state["loss_sum"], state["cnt"]
+        else:
+            opt = jax.vmap(tx.init)(stacked_vars["params"])
+            keys = jax.random.split(plan["key"], K)
+            it0 = jnp.full((K,), plan["iter0"], jnp.float32)
+            loss0 = jnp.zeros((K,), jnp.float32)
+            cnt0 = jnp.zeros((K,), jnp.float32)
         imgs = plan["images"]
         n_views = 1 if view_mode == "single" else 2
         # Hoist augmentation out of the scan when the round's view tensors
@@ -530,12 +545,13 @@ def make_local_round(
         def make_map_clients(axis):
             def map_clients(stacked_args):
                 def one(args):
-                    vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k, \
-                        valid_k, ctx_k, key_k = args
+                    vars_k, teacher_k, cstate_k, opt_k, imgs_k, sample_k, \
+                        pos_k, valid_k, ctx_k, key_k, it0_k, loss0_k, \
+                        cnt0_k = args
                     return client_round(
-                        vars_k, teacher_k, cstate_k, imgs_k, sample_k, pos_k,
-                        valid_k, ctx_k, global_vars, key_k, plan["iter0"],
-                        scalars, data_axis=axis,
+                        vars_k, teacher_k, cstate_k, opt_k, imgs_k, sample_k,
+                        pos_k, valid_k, ctx_k, global_vars, key_k, it0_k,
+                        loss0_k, cnt0_k, scalars, data_axis=axis,
                     )
 
                 return jax.lax.map(one, stacked_args)
@@ -544,8 +560,9 @@ def make_local_round(
 
         map_clients = make_map_clients(data_axis)
 
-        stacked_args = (stacked_vars, teacher, cstate, imgs_km, sample_km,
-                        pos_km, valid_km, ctx, keys)
+        stacked_args = (stacked_vars, teacher, cstate, opt, imgs_km,
+                        sample_km, pos_km, valid_km, ctx, keys, it0, loss0,
+                        cnt0)
 
         if use_shard_map:
             # each device loops over its LOCAL clients; lax.map over a
@@ -555,25 +572,27 @@ def make_local_round(
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
 
-            # positions 3..6 of stacked_args are the batch-carrying tensors
-            # ([K, S, B, ...]) whose B axis splits over 'data'; everything
-            # else (vars/teacher/cstate/ctx/keys) shards on 'client' only
+            # the batch-carrying tensors ([K, S, B, ...]) split B over the
+            # 'data' axis; everything else (vars/teacher/cstate/opt/ctx/
+            # keys and the windowed-carry accumulators) shards on 'client'
             def batch_spec(x):
                 if data_axis is not None:
                     return P("client", None, "data")
                 return P("client")
 
-            vars_a, teacher_a, cstate_a, imgs_a, sample_a, pos_a, valid_a, \
-                ctx_a, keys_a = stacked_args
+            vars_a, teacher_a, cstate_a, opt_a, imgs_a, sample_a, pos_a, \
+                valid_a, ctx_a, keys_a, it_a, loss_a, cnt_a = stacked_args
             cl_only = lambda t: jax.tree_util.tree_map(
                 lambda _: P("client"), t
             )
             spec = (
                 cl_only(vars_a), cl_only(teacher_a), cl_only(cstate_a),
+                cl_only(opt_a),
                 jax.tree_util.tree_map(batch_spec, imgs_a),
                 jax.tree_util.tree_map(batch_spec, sample_a),
                 batch_spec(pos_a), batch_spec(valid_a),
-                cl_only(ctx_a), P("client"),
+                cl_only(ctx_a), P("client"), P("client"), P("client"),
+                P("client"),
             )
             # trace the output STRUCTURE with the axis-free variant — the
             # collectives are unbound outside shard_map
@@ -585,17 +604,45 @@ def make_local_round(
                 map_clients, mesh=mesh, in_specs=(spec,),
                 out_specs=out_spec, check_rep=False,
             )
-            svars, stea, scst, mean_loss, aux_sum = mapped(stacked_args)
+            svars, stea, scst, sopt, skeys, sit, sloss, scnt, mean_loss, \
+                aux_sum = mapped(stacked_args)
         else:
-            svars, stea, scst, mean_loss, aux_sum = map_clients(stacked_args)
+            svars, stea, scst, sopt, skeys, sit, sloss, scnt, mean_loss, \
+                aux_sum = map_clients(stacked_args)
         out_state = {"vars": svars}
         if "teacher" in state:
             out_state["teacher"] = stea
         if "cstate" in state:
             out_state["cstate"] = scst
+        if carry_mode:
+            out_state.update({"opt": sopt, "keys": skeys, "it": sit,
+                              "loss_sum": sloss, "cnt": scnt})
         return out_state, mean_loss, aux_sum
 
-    return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+
+    @jax.jit
+    def init_carry(svars, key, iter0):
+        """Windowed host-stream carry (see make_lockstep_local_round's
+        init_carry): per-client Adam state, per-client RNG streams (the
+        same split(key, K) the unwindowed round consumes) and loss
+        accumulators. teacher/cstate thread through their regular state
+        entries; per-step aux sums across windows on the host
+        (train.py::Trainer._windowed_pass)."""
+        K = jax.tree_util.tree_leaves(svars["params"])[0].shape[0]
+        return {
+            "opt": jax.vmap(tx.init)(svars["params"]),
+            "keys": jax.random.split(key, K),
+            "it": jnp.full((K,), iter0, jnp.float32),
+            "loss_sum": jnp.zeros((K,), jnp.float32),
+            "cnt": jnp.zeros((K,), jnp.float32),
+        }
+
+    def round_entry(state, data, plan, scalars):
+        return jitted(state, data, plan, scalars)
+
+    round_entry.init_carry = init_carry
+    return round_entry
 
 # ----------------------------------------------------------------------
 # Channel-stacked lockstep round: all K clients advance through each local
@@ -799,26 +846,45 @@ def make_lockstep_local_round(
         )
     weak = _pick_weak_backend(augment_backend)
 
-    def augment_flat(flat_u8, key):
-        """One augmentation call over all K·B step images."""
+    def _per_image_keys(ka_s, view_idx, n_per, B):
+        """Shard-invariant per-image augmentation keys: client k's view-v
+        image keys derive from fold_in(ka_k, v) alone, so a client shard
+        computes exactly the keys the unsharded round would."""
+        def one(ka_k):
+            kv = jax.random.fold_in(ka_k, view_idx)
+            return jax.random.split(kv, n_per * B).reshape(B, n_per, 2)
+
+        keys = jax.vmap(one)(ka_s)  # [Kl, B, n_per, 2]
+        return keys.reshape((-1, n_per, 2))
+
+    def augment_flat(flat_u8, ka_s, B):
+        """One augmentation call over all Kl·B step images, with per-image
+        keys derived per (client, view) — see _per_image_keys."""
+        dummy = ka_s[0]
         if view_mode == "single":
-            k1, _ = jax.random.split(key)
-            return {"x": weak(flat_u8, k1, mean, std)}
-        k1, k2 = jax.random.split(key)
-        x1 = weak(flat_u8, k1, mean, std)
+            k1 = _per_image_keys(ka_s, 0, 2, B)
+            return {"x": weak(flat_u8, dummy, mean, std, keys=k1)}
+        k1 = _per_image_keys(ka_s, 0, 2, B)
+        x1 = weak(flat_u8, dummy, mean, std, keys=k1)
         if view_mode == "dual":
-            x2 = weak(flat_u8, k2, mean, std)
+            k2 = _per_image_keys(ka_s, 1, 2, B)
+            x2 = weak(flat_u8, dummy, mean, std, keys=k2)
         else:
-            x2 = A.strong_augment_batch(flat_u8, k2, mean, std)
+            k2 = _per_image_keys(ka_s, 1, 3, B)
+            x2 = A.strong_augment_batch(flat_u8, dummy, mean, std, keys=k2)
         return {"x1": x1, "x2": x2}
 
-    _CARRY_KEYS = {"vars", "opt", "key", "it", "loss_sum", "cnt"}
+    _CARRY_KEYS = {"vars", "opt", "keys", "it", "loss_sum", "cnt"}
+
+    def fold_client_keys(key, K):
+        """Round key → per-client key streams [K, 2] (global client ids)."""
+        return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(K))
 
     def round_fn(state, data, plan, scalars):
         carry_mode = "opt" in state
         assert set(state) == ({"vars"} if not carry_mode else _CARRY_KEYS), (
             "lockstep round supports plain-vars algorithms only (plus the "
-            "windowed-stream carry: opt/key/it/loss_sum/cnt)"
+            "windowed-stream carry: opt/keys/it/loss_sum/cnt)"
         )
         pos, pos_valid = plan["pos"], plan["pos_valid"]  # [S, K, B]
         K = pos.shape[1]
@@ -835,42 +901,33 @@ def make_lockstep_local_round(
             mesh is not None and n_cl_shards > 1 and K % n_cl_shards == 0
             and mesh.shape.get("data", 1) == 1
         )
-        assert not (carry_mode and use_shard_map), (
-            "windowed-stream carry runs single-shard only (stream the "
-            "window from the host, shard the clients, pick one)"
-        )
-        client_axis = "client" if use_shard_map else None
+
+        if carry_mode:
+            opt0, keys0 = state["opt"], state["keys"]
+            it0, loss0, cnt0 = state["it"], state["loss_sum"], state["cnt"]
+        else:
+            opt0 = jax.vmap(tx.init)(svars["params"])
+            keys0 = fold_client_keys(plan["key"], K)
+            it0 = jnp.full((K,), plan["iter0"], jnp.float32)
+            loss0 = jnp.zeros((K,), jnp.float32)
+            cnt0 = jnp.zeros((K,), jnp.float32)
 
         def scan_round(svars, imgs_all, sample_all, pos, pos_valid,
-                       ctx, keys0, carry_in=None):
+                       ctx, opt0, keys0, it0, loss0, cnt0):
             Kl = pos.shape[1]  # local client count (K / shards under mesh)
-            # per-client Adam state (vmapped init so EVERY leaf — including
-            # the scalar step count — carries the leading client axis that
-            # the per-step lax.map iterates over); initialized inside
-            # shard_map so nothing here needs a PartitionSpec
-            if carry_in is None:
-                opt0 = jax.vmap(tx.init)(svars["params"])
-                it0 = plan["iter0"]
-                loss0 = jnp.zeros((Kl,), jnp.float32)
-                cnt0 = jnp.zeros((Kl,), jnp.float32)
-            else:
-                # windowed host-stream: the optimizer/RNG/loss accumulators
-                # arrive from the previous window so W-step windows compose
-                # to exactly the unwindowed S-step round
-                opt0, keys0, it0, loss0, cnt0 = carry_in
 
             def body(carry, xs):
-                vars_s, opt_s, key, it, loss_sum, cnt = carry
+                vars_s, opt_s, keys_s, it, loss_sum, cnt = carry
                 imgs_s, sample_s, pos_s, valid_s = xs  # [Kl, B, ...]
-                key, sub = jax.random.split(key)
-                if client_axis is not None:
-                    # distinct augmentation/loss streams per client shard
-                    sub = jax.random.fold_in(
-                        sub, jax.lax.axis_index(client_axis))
-                ka, kg = jax.random.split(sub)
+                # per-client key evolution: split each client's stream —
+                # identical under any client sharding (no axis_index)
+                nxt = jax.vmap(jax.random.split)(keys_s)  # [Kl, 2, 2]
+                keys_next, subs = nxt[:, 0], nxt[:, 1]
+                sub2 = jax.vmap(jax.random.split)(subs)
+                ka_s, kl_s = sub2[:, 0], sub2[:, 1]  # [Kl, 2] each
                 B = imgs_s.shape[1]
                 flat = imgs_s.reshape((Kl * B,) + imgs_s.shape[2:])
-                views_flat = augment_flat(flat, ka)
+                views_flat = augment_flat(flat, ka_s, B)
                 if needs_global:
                     # ONE frozen-global forward per view at batch Kl·B
                     for name, v in list(views_flat.items()):
@@ -881,7 +938,6 @@ def make_lockstep_local_round(
                     k: v.reshape((Kl, B) + v.shape[1:])
                     for k, v in views_flat.items()
                 }
-                kls = jax.random.split(kg, Kl)
                 sample_s = dict(sample_s)
                 sample_s["_pos"] = pos_s
 
@@ -907,7 +963,7 @@ def make_lockstep_local_round(
                     return grads, new_rest, loss
 
                 grads, new_rest, loss = jax.lax.map(
-                    one, (vars_s, views_k, sample_s, valid_s, ctx, kls)
+                    one, (vars_s, views_k, sample_s, valid_s, ctx, kl_s)
                 )
                 has_any = (valid_s.sum(1) > 0).astype(jnp.float32)  # [Kl]
                 params_s = vars_s["params"]
@@ -921,31 +977,23 @@ def make_lockstep_local_round(
                 new_params = optax.apply_updates(params_s, updates)
                 vars_s = dict(new_rest)
                 vars_s["params"] = new_params
-                return (vars_s, opt_s, key, it + 1.0,
+                return (vars_s, opt_s, keys_next, it + 1.0,
                         loss_sum + loss * has_any, cnt + has_any), None
 
             init = (svars, opt0, keys0, it0, loss0, cnt0)
             xs = (imgs_all, sample_all, pos, pos_valid)
-            (svars, opt, key, it, loss_sum, cnt), _ = jax.lax.scan(
+            (svars, opt, keys, it, loss_sum, cnt), _ = jax.lax.scan(
                 body, init, xs, unroll=scan_unroll)
             mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
-            if carry_in is not None:
-                return svars, mean_loss, (opt, key, it, loss_sum, cnt)
-            return svars, mean_loss
-
-        if carry_mode:
-            carry_in = (state["opt"], state["key"], state["it"],
-                        state["loss_sum"], state["cnt"])
-            svars, mean_loss, (opt, key, it, loss_sum, cnt) = scan_round(
-                svars, imgs_all, plan["sample"], pos, pos_valid, ctx,
-                None, carry_in=carry_in)
-            out = {"vars": svars, "opt": opt, "key": key, "it": it,
-                   "loss_sum": loss_sum, "cnt": cnt}
-            return out, mean_loss, {}
+            return svars, mean_loss, opt, keys, it, loss_sum, cnt
 
         args = (svars, imgs_all, plan["sample"], pos, pos_valid, ctx,
-                plan["key"])
+                opt0, keys0, it0, loss0, cnt0)
         if use_shard_map:
+            # every argument (including the carry) is client-major, so the
+            # windowed-stream carry threads through shard_map unchanged —
+            # windowed+sharded == unwindowed+unsharded exactly
+            # (tests/test_stream_window.py::test_windowed_sharded)
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
 
@@ -954,30 +1002,39 @@ def make_lockstep_local_round(
                 lambda _: P(None, "client"), t)  # [S, K, ...] tensors
             spec = (cl(svars), step_cl(imgs_all),
                     step_cl(plan["sample"]), P(None, "client"),
-                    P(None, "client"), cl(ctx), P())
-            out_spec = (cl(svars), P("client"))
-            svars, mean_loss = shard_map(
+                    P(None, "client"), cl(ctx),
+                    cl(opt0), P("client"), P("client"), P("client"),
+                    P("client"))
+            out_spec = (cl(svars), P("client"), cl(opt0), P("client"),
+                        P("client"), P("client"), P("client"))
+            svars, mean_loss, opt, keys, it, loss_sum, cnt = shard_map(
                 scan_round, mesh=mesh, in_specs=spec, out_specs=out_spec,
                 check_rep=False,
             )(*args)
         else:
-            svars, mean_loss = scan_round(*args)
+            svars, mean_loss, opt, keys, it, loss_sum, cnt = scan_round(*args)
+        if carry_mode:
+            out = {"vars": svars, "opt": opt, "keys": keys, "it": it,
+                   "loss_sum": loss_sum, "cnt": cnt}
+            return out, mean_loss, {}
         return {"vars": svars}, mean_loss, {}
 
     jitted = jax.jit(round_fn, donate_argnums=(0,) if donate else ())
 
     @jax.jit
     def init_carry(svars, key, iter0):
-        """Windowed host-stream carry: per-client Adam state + RNG key +
-        loss accumulators, so round_fn can consume the round's S steps in
-        W-step windows (only one window's images resident in HBM) and
-        compose to exactly the unwindowed round — Adam moments, RNG
-        stream and loss means all thread through the carry."""
+        """Windowed host-stream carry: per-client Adam state + per-client
+        RNG key streams + loss accumulators, so round_fn can consume the
+        round's S steps in W-step windows (only one window's images
+        resident in HBM) and compose to exactly the unwindowed round —
+        Adam moments, RNG streams and loss means all thread through the
+        carry. All leaves are client-major, so the carry also shards over
+        the client mesh axis."""
         K = jax.tree_util.tree_leaves(svars["params"])[0].shape[0]
         return {
             "opt": jax.vmap(tx.init)(svars["params"]),
-            "key": key,
-            "it": iter0,
+            "keys": fold_client_keys(key, K),
+            "it": jnp.full((K,), iter0, jnp.float32),
             "loss_sum": jnp.zeros((K,), jnp.float32),
             "cnt": jnp.zeros((K,), jnp.float32),
         }

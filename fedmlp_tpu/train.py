@@ -389,9 +389,8 @@ class Trainer:
                 np.arange(self.n_clients)[None, :, None], pos
             ]  # [S, K, B]
             W = self.cfg.data.stream_window
-            if (W and pos.shape[0] > W and self.round_mesh is None
-                    and hasattr(round_fn, "init_carry")
-                    and not extra_state):
+            if (W and pos.shape[0] > W
+                    and hasattr(round_fn, "init_carry")):
                 return self._windowed_pass(
                     round_fn, gidx, sample_arrays, scalars, state, data,
                     pos, pos_valid, sub, W,
@@ -425,7 +424,9 @@ class Trainer:
         from disk while window w trains on device; Adam state, the RNG
         stream and the loss accumulators thread through the engine's
         carry so the windowed round equals the unwindowed one exactly
-        (tests/test_stream_window.py)."""
+        (tests/test_stream_window.py). Teacher/cstate (RSCFed, FedIRM,
+        RoFL) ride their regular state entries across windows; per-step
+        aux (e.g. FedIRM confusion matrices) sums here on the host."""
         S = pos.shape[0]
         pos_j = jnp.asarray(pos)
         sample = rt.gather_round_samples(self.fd.idx, sample_arrays, pos_j)
@@ -436,6 +437,7 @@ class Trainer:
         gidx = gidx.astype(np.int64)
         self.loader.submit(gidx[:W])
         losses = None
+        aux_total = None
         w0 = 0
         prev_losses = None
         while w0 < S:
@@ -468,11 +470,17 @@ class Trainer:
                 # in flight while disk prefetch and the w'th transfer
                 # still overlap the w-1'th compute.
                 jax.block_until_ready(prev_losses)
-            state, losses, _ = round_fn(state, data, plan, scalars)
+            state, losses, aux = round_fn(state, data, plan, scalars)
+            aux_total = (aux if aux_total is None else
+                         jax.tree_util.tree_map(jnp.add, aux_total, aux))
             prev_losses = losses
             w0 = w1
         self.iter_num += S
-        return {"vars": state["vars"]}, losses, {}
+        out_state = {"vars": state["vars"]}
+        for name in ("teacher", "cstate"):
+            if name in state:
+                out_state[name] = state[name]
+        return out_state, losses, aux_total if aux_total is not None else {}
 
     @property
     def round_mesh(self):
