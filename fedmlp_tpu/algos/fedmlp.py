@@ -409,6 +409,7 @@ def _get_stage2_fn(trainer):
                 mesh=trainer.round_mesh,
                 augment_backend=trainer.cfg.data.augment_backend,
                 scan_unroll=trainer.cfg.scan_unroll,
+                client_unroll=bool(trainer.cfg.client_unroll),
             )
             return trainer._fedmlp_stage2_fn
         trainer._fedmlp_stage2_fn = rt.make_local_round(

@@ -143,6 +143,9 @@ def args_parser(argv=None):
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize backbone blocks in the backward "
                         "pass (EfficientNet family; byte reduction)")
+    p.add_argument("--client_unroll", type=int, default=0,
+                   help="lockstep engine: unroll the per-step client map "
+                        "into static-index slices (compile-time knob)")
     p.add_argument("--dw_backend", type=str, default="",
                    choices=["", "conv", "taps", "pallas"],
                    help="EfficientNet depthwise-conv impl (models/"
@@ -213,6 +216,7 @@ def config_from_args(a) -> Config:
         checkpoint_every=a.checkpoint_every,
         compute_dtype=a.compute_dtype,
         scan_unroll=a.scan_unroll,
+        client_unroll=a.client_unroll,
         dw_backend=a.dw_backend,
         remat=a.remat,
         view_concat=a.view_concat,

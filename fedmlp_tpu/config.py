@@ -209,6 +209,11 @@ class Config:
     # sequential forwards, utils/local_training.py:937-947) — off by
     # default, A/B'd in BENCH_NOTES
     view_concat: str = "off"
+    # engine: unroll the lockstep engine's per-step lax.map over clients
+    # into a Python loop of static-index slices — removes the map's
+    # dynamic-slice/update machinery at a K×-larger step program
+    # (compile-time experiment knob; A/B'd in BENCH_NOTES round 4)
+    client_unroll: int = 0
     # engine: rematerialize backbone blocks in the backward pass
     # (EfficientNet/ResNet/SENet families) — saves only block inputs as
     # residuals and recomputes the internals during the gradient.

@@ -198,11 +198,33 @@ def _use_pallas(flag):
 # ----------------------------------------------------------------------
 
 _RB = 8  # rows per shear block (f32 sublane tile)
-_TAPS = (-2, -1, 0, 1, 2, 3)  # covers |k_row − K_b| ≤ 2 (slope·7 + floor)
+
+
+def _taps_for_slope(max_slope: float) -> tuple:
+    """Static tap offsets covering every per-row integer shift within an
+    8-row block. Rows sit at |y − y_mid| ≤ 3.5, so the row shift deviates
+    from the block's mid-row shift by at most d = 3.5·|slope|; with
+    kb = floor(s_mid), rel = floor(s_mid + δ) − kb ∈ [floor(−d), floor(1+d)]
+    and each row needs taps rel (weight 1−w) and rel+1 (weight w). Taps
+    outside a row's pair get an exact 0.0 weight, so shrinking the tap set
+    to this bound is bit-identical — the 10° weak augment (|slope| ≤
+    sin 10° = 0.174, d = 0.61) needs 4 taps where the old fixed set spent 6
+    (the tap FMAs are the kernel's VMEM-bandwidth cost: 36.7 ms/step
+    stage-1, 220 ms/round stage-2 in the round-4 flagship profile)."""
+    import math
+
+    d = 3.5 * float(max_slope) + 1e-3
+    lo = math.floor(-d)
+    hi = math.floor(1.0 + d) + 1
+    return tuple(range(lo, hi + 1))
+
+
+_TAPS_DEFAULT = (-2, -1, 0, 1, 2, 3)  # legacy bound: |slope| ≤ tan(15°)
+_FORCE_LEGACY_TAPS = False  # A/B hook (tools/probe_flagship_ab.py)
 
 
 def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
-                       mean, std):
+                       mean, std, taps):
     """p_ref SMEM [3, 3] per-pass shear params (slope, offset, center):
     shift_row(y) = slope·(y − center) + offset. img_ref u8 [3, S, S];
     out_ref f32 [3, S, S]; buf_a/buf_b VMEM [3, S, Sp] ping-pong with a
@@ -233,7 +255,7 @@ def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
             # _hshift_kernel)
             rolled = pltpu.roll(rows, jnp.mod(-kb, Sp), axis=2)
             val = jnp.zeros((3, _RB, S), jnp.float32)
-            for d in _TAPS:
+            for d in taps:
                 # tap_d[x] = src[x + kb + d]; row r needs d = k_r − kb
                 # (weight 1−w) and d = k_r − kb + 1 (weight w)
                 c_d = jnp.where(rel == d, 1.0 - w, 0.0) + jnp.where(
@@ -268,19 +290,23 @@ def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
 
 
 def fused_warp_normalize(img_u8_planar, params, mean, std,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         max_slope: float | None = None):
     """One image: u8 [3, S, S] + per-pass shear params [3, 3] rows of
     (slope, offset, center) — shift_row(y) = slope·(y−center) + offset —
-    → normalized f32 [3, S, S]. |slope| must stay ≤ tan(15°) so the
-    six-tap residual window covers every row of an 8-row block."""
+    → normalized f32 [3, S, S]. ``max_slope`` bounds |slope| across the
+    three passes and sizes the static tap set (_taps_for_slope); the
+    default legacy set covers |slope| ≤ tan(15°)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     C, S, S2 = img_u8_planar.shape
     assert C == 3 and S == S2, "fused warp expects square RGB planar input"
     assert S % _RB == 0, f"image size must be a multiple of {_RB}"
+    taps = (_TAPS_DEFAULT if max_slope is None or _FORCE_LEGACY_TAPS
+            else _taps_for_slope(max_slope))
     Sp = ((S + 160 + 127) // 128) * 128  # 128 left margin + ≥32 right slack
     kernel = functools.partial(_fused_warp_kernel, S=S, Sp=Sp,
-                               mean=tuple(mean), std=tuple(std))
+                               mean=tuple(mean), std=tuple(std), taps=taps)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, S, S), jnp.float32),
@@ -322,8 +348,15 @@ def weak_augment_batch_fused(images_u8, key, mean, std, degrees=10.0,
         planar = img.transpose(2, 0, 1)  # u8 [3, H, W]
         planar = jnp.where(flip, planar[:, :, ::-1], planar)
         params = paeth_shift_params(jnp.deg2rad(ang), tx, ty, H, W)
+        # slope bounds for RandomAffine(degrees): |α| ≤ tan(deg/2),
+        # |β| ≤ sin(deg) — sizes the kernel's static tap set exactly
+        import math
+
+        rad = math.radians(float(degrees))
+        ms = max(math.tan(rad / 2.0), math.sin(rad))
         out = fused_warp_normalize(planar, params, mean, std,
-                                   interpret=not _use_pallas(use_pallas))
+                                   interpret=not _use_pallas(use_pallas),
+                                   max_slope=ms)
         return out.transpose(1, 2, 0)
 
     return jax.vmap(one)(images_u8, keys)

@@ -26,6 +26,7 @@ Parity notes vs the reference:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable
 
@@ -46,6 +47,20 @@ from fedmlp_tpu.ops import augment as A
 # Optimizer: torch.optim.Adam(lr, betas=(0.9, 0.999), weight_decay=5e-4)
 # (reference: utils/local_training.py:636-637) — L2 added to grad.
 # ----------------------------------------------------------------------
+
+def _round_jit(fn, donate: bool):
+    """jit with optional XLA compiler-option overrides from the
+    FEDMLP_COMPILER_OPTIONS env var ('flag=value,flag=value') — the
+    same-process A/B hook for TPU compiler experiments (scoped-vmem
+    limits, scheduler toggles) on the round programs."""
+    kw = {}
+    opts = os.environ.get("FEDMLP_COMPILER_OPTIONS")
+    if opts:
+        kw["compiler_options"] = dict(
+            kv.split("=", 1) for kv in opts.split(",") if "=" in kv
+        )
+    return jax.jit(fn, donate_argnums=(0,) if donate else (), **kw)
+
 
 def torch_adam(lr: float, weight_decay: float = 5e-4, b1=0.9, b2=0.999, eps=1e-8):
     return optax.chain(
@@ -619,7 +634,7 @@ def make_local_round(
                               "loss_sum": sloss, "cnt": scnt})
         return out_state, mean_loss, aux_sum
 
-    jitted = jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+    jitted = _round_jit(round_fn, donate)
 
     @jax.jit
     def init_carry(svars, key, iter0):
@@ -798,7 +813,7 @@ def make_stacked_local_round(
         mean_loss = loss_sum / jnp.maximum(cnt, 1.0)
         return {"vars": svars}, mean_loss, {}
 
-    return jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+    return _round_jit(round_fn, donate)
 
 
 # ----------------------------------------------------------------------
@@ -833,11 +848,18 @@ def make_lockstep_local_round(
     mesh=None,  # Mesh with a 'client' axis (data axis must be 1)
     augment_backend: str = "auto",
     scan_unroll: int = 1,
+    client_unroll: bool = False,
 ):
     """Drop-in alternative to ``make_local_round`` for algorithms without
     teacher/cstate/post_step hooks (FedMLP stage-1/stage-2, FedNoRo).
     Same ``round_fn(state, data, plan, scalars)`` signature; ``state`` must
-    contain only ``vars``."""
+    contain only ``vars``.
+
+    ``client_unroll`` replaces the per-step lax.map over clients with a
+    Python loop of static-index slices: the map's dynamic-slice /
+    dynamic-update-slice machinery (~62k tiny ops per flagship round,
+    round-3 profile) disappears at the cost of a K×-larger step program
+    (compile-time experiment knob)."""
     tx = torch_adam(lr, weight_decay)
 
     if augment_backend == "auto":
@@ -962,9 +984,17 @@ def make_lockstep_local_round(
                         lf, has_aux=True)(params)
                     return grads, new_rest, loss
 
-                grads, new_rest, loss = jax.lax.map(
-                    one, (vars_s, views_k, sample_s, valid_s, ctx, kl_s)
-                )
+                map_args = (vars_s, views_k, sample_s, valid_s, ctx, kl_s)
+                if client_unroll:
+                    outs = [
+                        one(jax.tree_util.tree_map(lambda x: x[k], map_args))
+                        for k in range(Kl)
+                    ]
+                    grads, new_rest, loss = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *outs
+                    )
+                else:
+                    grads, new_rest, loss = jax.lax.map(one, map_args)
                 has_any = (valid_s.sum(1) > 0).astype(jnp.float32)  # [Kl]
                 params_s = vars_s["params"]
                 updates, opt_s = jax.vmap(tx.update)(grads, opt_s, params_s)
@@ -1019,7 +1049,7 @@ def make_lockstep_local_round(
             return out, mean_loss, {}
         return {"vars": svars}, mean_loss, {}
 
-    jitted = jax.jit(round_fn, donate_argnums=(0,) if donate else ())
+    jitted = _round_jit(round_fn, donate)
 
     @jax.jit
     def init_carry(svars, key, iter0):

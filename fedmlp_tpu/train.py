@@ -228,6 +228,7 @@ class Trainer:
                 mesh=self.round_mesh,
                 augment_backend=cfg.data.augment_backend,
                 scan_unroll=cfg.scan_unroll,
+                client_unroll=bool(cfg.client_unroll),
             )
             log.info("engine: lockstep mapped clients (K·B-batched "
                      "frozen-global forwards)")

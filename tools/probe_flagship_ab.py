@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Same-process interleaved A/B of engine variants on FLAGSHIP-shaped
+FedMLP stage-1 rounds (K=20, B=32, efficient_b0, 224px). Extends
+probe_viewcat.py to an arbitrary variant list — timing alternates
+variant-by-variant per rep to cancel slice-weather drift.
+
+PROBE_VARIANTS (comma list):
+  base         — current defaults (warp v4 taps)
+  taps_legacy  — warp v3 fixed 6-tap set (round-4 A/B: tap count)
+  viewcat      — dual views as one 2B student forward
+  cunroll      — lockstep client map unrolled to static slices
+  cunroll_viewcat — both
+
+Env: BENCH_CLIENTS/BENCH_BATCH/BENCH_ROUNDS as usual.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+VARIANTS = {
+    "base": {},
+    "taps_legacy": {"_legacy_taps": True},
+    "viewcat": {"view_concat": "on"},
+    "cunroll": {"client_unroll": 1},
+    "cunroll_viewcat": {"client_unroll": 1, "view_concat": "on"},
+}
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fedmlp_tpu.config import Config, DataConfig, FedMLPConfig
+    from fedmlp_tpu.train import Trainer
+    from fedmlp_tpu.ops import pallas_warp
+
+    K = int(os.environ.get("BENCH_CLIENTS", "20"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    N = K * B * 4
+    REPS = int(os.environ.get("BENCH_ROUNDS", "5"))
+    names = os.environ.get("PROBE_VARIANTS", "base,taps_legacy").split(",")
+
+    def mk(opts):
+        opts = dict(opts)
+        legacy = opts.pop("_legacy_taps", False)
+        cfg = Config(
+            algorithm="fedmlp", model="efficient_b0", batch_size=B,
+            base_lr=3e-5, n_clients=K, local_ep=1,
+            rounds_warmup=4 * REPS + 4, eval_every=10_000, seed=1037,
+            p_pos=0.0,
+            fedmlp=FedMLPConfig(rounds_stage1=10_000),  # stage 1 forever
+            data=DataConfig(name="synthetic", n_classes=8, image_size=224,
+                            synthetic_train_size=N, synthetic_test_size=64),
+            compute_dtype="bfloat16", **opts,
+        )
+        pallas_warp._FORCE_LEGACY_TAPS = legacy
+        t = Trainer(cfg)
+        t.run_round(0)  # compile under the current taps flag
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(
+            t.global_vars["params"])[0].ravel()[:1]))
+        pallas_warp._FORCE_LEGACY_TAPS = False
+        return t
+
+    trainers = {}
+    imgs = None
+    for name in names:
+        t0 = time.perf_counter()
+        trainers[name] = mk(VARIANTS[name])
+        imgs = int(np.asarray(trainers[name].fd.valid).sum())
+        print(f"# {name}: compiled in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+    times = {k: [] for k in trainers}
+    rnd = 1
+    for _ in range(REPS):
+        for name, t in trainers.items():
+            t0 = time.perf_counter()
+            state, _losses, _ = t.local_pass(
+                t.round_fn, {"labels": t.fd.obs_targets},
+                t.round_scalars(rnd))
+            t.global_vars = t.aggregate(state["vars"], t.dict_len)
+            np.asarray(jax.device_get(jax.tree_util.tree_leaves(
+                t.global_vars["params"])[0].ravel()[:1]))
+            times[name].append(time.perf_counter() - t0)
+        rnd += 1
+
+    out = {"platform": jax.devices()[0].platform, "K": K, "B": B,
+           "imgs_per_round": imgs}
+    base_med = None
+    for name, ts in times.items():
+        med = float(np.median(ts))
+        out[f"{name}_round_ms"] = round(med * 1e3, 1)
+        out[f"{name}_imgps"] = round(imgs / med, 1)
+        if base_med is None:
+            base_med = med
+        out[f"{name}_speedup_vs_first"] = round(base_med / med, 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
