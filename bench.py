@@ -70,7 +70,7 @@ def _bench_fedmlp(jax, ROUNDS, MODEL, B, K, N, SIZE, PROFILE,
         ),
         compute_dtype="bfloat16",
         dw_backend=os.environ.get("BENCH_DW", ""),
-        view_concat=os.environ.get("BENCH_VIEWCAT", "off"),
+        view_concat=os.environ.get("BENCH_VIEWCAT", "auto"),
     )
     t = Trainer(cfg)
     imgs_per_round = int(np.asarray(t.fd.valid).sum()) * cfg.local_ep

@@ -136,10 +136,11 @@ def args_parser(argv=None):
                             "normonly"])
     # engine knobs (defaults = measured-best configuration, BENCH_NOTES.md)
     p.add_argument("--scan_unroll", type=int, default=1)
-    p.add_argument("--view_concat", type=str, default="off",
-                   choices=["off", "on"],
+    p.add_argument("--view_concat", type=str, default="auto",
+                   choices=["auto", "off", "on"],
                    help="dual-view losses as one 2B forward (FedMLP "
-                        "stage 1; joint-BN semantics)")
+                        "stage 1; joint-BN semantics; auto = on for TPU, "
+                        "+14%% flagship stage-1, BENCH_NOTES round 4)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize backbone blocks in the backward "
                         "pass (EfficientNet family; byte reduction)")
@@ -147,7 +148,7 @@ def args_parser(argv=None):
                    help="lockstep engine: unroll the per-step client map "
                         "into static-index slices (compile-time knob)")
     p.add_argument("--dw_backend", type=str, default="",
-                   choices=["", "conv", "taps", "pallas"],
+                   choices=["", "conv", "taps", "pallas", "dense"],
                    help="EfficientNet depthwise-conv impl (models/"
                         "efficientnet.py::MBConv)")
     p.add_argument("--client_stacking", type=str, default="auto",

@@ -203,12 +203,17 @@ class Config:
     # and code size for less while-loop bookkeeping + cross-step scheduling)
     scan_unroll: int = 1
     # engine: run dual-view losses as one 2B forward when the algorithm
-    # provides a loss_fn_viewcat (FedMLP stage 1). Halves the conv op
-    # count of the op-issue-bound flagship program; BN batch stats are
-    # computed jointly over both views (deviates from the reference's two
-    # sequential forwards, utils/local_training.py:937-947) — off by
-    # default, A/B'd in BENCH_NOTES
-    view_concat: str = "off"
+    # provides a loss_fn_viewcat (FedMLP stage 1). Doubles the student
+    # convs' batch — at B=32 XLA lays EfficientNet's small-C activations
+    # batch-minor in the 128-lane tile, so 2B halves the padding waste
+    # (round-4 HLO analysis). BN batch stats are computed jointly over
+    # both views (deviates from the reference's two sequential forwards,
+    # utils/local_training.py:937-947; correctness covered by
+    # tests/test_fedmlp.py::test_view_concat_stage1_trains). Measured
+    # +14% on the flagship stage-1 round in two independent interleaved
+    # A/Bs (round 4; round 3's neutral verdict predated the warp-v3
+    # bottleneck shift) — 'auto' = on for TPU, off elsewhere.
+    view_concat: str = "auto"
     # engine: unroll the lockstep engine's per-step lax.map over clients
     # into a Python loop of static-index slices — removes the map's
     # dynamic-slice/update machinery at a K×-larger step program
@@ -222,9 +227,12 @@ class Config:
     # 224px activation sizes. Value is MEMORY headroom, not speed.
     remat: int = 0
     # engine: depthwise-conv implementation for the EfficientNet family —
-    # '' (XLA grouped conv, measured-best), 'taps', or 'pallas' (XLA
-    # forward + Pallas padded-window backward, ops/dw_pallas.py; per-op
-    # parity-to-slower vs XLA on this slice, kept for integrated A/Bs)
+    # '' (platform auto: 'dense' on TPU, grouped conv elsewhere — see
+    # train.py), 'conv' (XLA grouped conv), 'dense' (diagonal-masked full
+    # conv routing the backward through the standard conv emitter;
+    # ops/depthwise.py::depthwise_dense, round-4 A/B), 'taps', or
+    # 'pallas' (XLA forward + Pallas padded-window backward,
+    # ops/dw_pallas.py; per-op parity-to-slower, kept for A/Bs)
     dw_backend: str = ""
     # engine: channel-stacked lockstep clients (models/stacked.py) — 'auto'
     # currently resolves OFF (the mapped lax.map engine measured faster

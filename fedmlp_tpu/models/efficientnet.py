@@ -28,6 +28,13 @@ import jax.numpy as jnp
 
 from fedmlp_tpu.models.heads import FCNormHead, LinearHead
 
+# dw_backend='dense': channel cap above which blocks keep the grouped
+# form (the k²·C² dense MACs stop being free around C≳200 at B0's
+# spatial sizes — 240²@28² is ~0.5 TFLOP/step at flagship scale)
+import os as _os
+
+_DENSE_DW_MAX_CH = int(_os.environ.get("FEDMLP_DW_DENSE_MAXCH", "192"))
+
 # (expand_ratio, channels, repeats, stride, kernel)
 _B0_BLOCKS = (
     (1, 16, 1, 1, 3),
@@ -114,6 +121,21 @@ class MBConv(nn.Module):
 
             h = DepthwisePallas(mid, k, s, dw_pads, dtype=self.dtype,
                                 name="dw_conv")(h)
+        elif self.dw_backend == "reroute":
+            from fedmlp_tpu.ops.depthwise import DepthwiseReroute
+
+            h = DepthwiseReroute(mid, k, s, dw_pads, dtype=self.dtype,
+                                 name="dw_conv")(h)
+        elif self.dw_backend == "dense" and mid <= _DENSE_DW_MAX_CH:
+            # diagonal-masked dense conv: routes the depthwise BACKWARD
+            # through XLA's standard conv emitter (the grouped-conv VJP
+            # moves ~12x its operand bytes on TPU — ops/depthwise.py::
+            # depthwise_dense). Capped to small-C blocks where the k²·C²
+            # extra MACs stay far below the program's idle MXU headroom.
+            from fedmlp_tpu.ops.depthwise import DepthwiseDense
+
+            h = DepthwiseDense(mid, k, s, dw_pads, dtype=self.dtype,
+                               name="dw_conv")(h)
         else:
             h = nn.Conv(
                 mid, (k, k), (s, s), padding=list(dw_pads),

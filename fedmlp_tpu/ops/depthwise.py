@@ -99,3 +99,83 @@ class DepthwisePallas(nn.Module):
             return depthwise_taps(x, w, self.stride, self.pads)
         interpret = jax.devices()[0].platform != "tpu"
         return dw_conv_pallas(x, w, self.stride, self.pads, interpret)
+
+
+def depthwise_dense(x, w, stride: int, pads):
+    """Depthwise conv as a FULL convolution with a diagonal-masked dense
+    kernel: wd[i, j, cin, cout] = w[i, j, 0, cout] · δ(cin, cout).
+
+    Same math as the grouped form (off-diagonal taps contribute exact
+    zeros), but both the forward and — decisively — the BACKWARD lower
+    through XLA:TPU's standard dense-convolution emitter. The round-3/4
+    flagship profiles show the native grouped-conv VJP moving ~12x its
+    operand bytes (bwd::block0_0/dw_conv: 7.2 GB where padded operands
+    total ~0.6 GB, 42.6 ms/step); the dense backward is plain transposed
+    convolution + kernel correlation, byte-clean and MXU-borne. The k²·C²
+    extra MACs are noise next to the chip's idle MXU (8.6 of ~165 TFLOP/s
+    achieved on this program) for the small-C blocks where the grouped
+    pathology bites; larger-C blocks stay grouped (see
+    models/efficientnet.py's dense-channel cap).
+    """
+    import jax
+
+    k = w.shape[0]
+    C = w.shape[-1]
+    eye = jnp.eye(C, dtype=w.dtype)
+    wd = w[:, :, 0, None, :] * eye[None, None]  # [k, k, C, C]
+    return jax.lax.conv_general_dilated(
+        x, wd.astype(x.dtype), (stride, stride), list(pads),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class DepthwiseDense(nn.Module):
+    """Drop-in for the grouped ``nn.Conv`` with an identical parameter
+    pytree (param 'kernel' [k, k, 1, features]) — see depthwise_dense."""
+
+    features: int
+    kernel: int
+    stride: int
+    pads: tuple  # ((t, b), (l, r))
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        return depthwise_dense(x.astype(self.dtype), w.astype(self.dtype),
+                               self.stride, self.pads)
+
+
+class DepthwiseReroute(nn.Module):
+    """Grouped-conv forward on XLA's fast emitter with the REROUTED
+    backward of ops/dw_conv.py (custom_vjp): dx as a dilated depthwise
+    conv of dy with the flipped kernel (the same forward emitter), dw as
+    k² strided-shift multiply-reduce taps. Pure-XLA ops throughout — the
+    round-3 Pallas backward swaps closed negative, but this reroute was
+    never integrated end-to-end (round-4 A/B). Same parameter pytree as
+    the other backends."""
+
+    features: int
+    kernel: int
+    stride: int
+    pads: tuple  # ((t, b), (l, r))
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from fedmlp_tpu.ops.dw_conv import dw_conv
+
+        k = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        return dw_conv(x.astype(self.dtype), w.astype(self.dtype),
+                       self.stride, tuple(map(tuple, self.pads)))

@@ -194,7 +194,12 @@ class Trainer:
         )
         self.algo = algo_registry.get_algorithm(cfg.algorithm)
         algo_loss = self.algo.loss_fn
-        if (cfg.view_concat == "on"
+        view_concat = cfg.view_concat
+        if view_concat == "auto":
+            view_concat = (
+                "on" if jax.devices()[0].platform == "tpu" else "off"
+            )
+        if (view_concat == "on"
                 and hasattr(self.algo, "loss_fn_viewcat")):
             algo_loss = self.algo.loss_fn_viewcat
             log.info("engine: dual views concatenated into one 2B forward")

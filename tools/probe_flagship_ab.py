@@ -27,10 +27,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 VARIANTS = {
     "base": {},
+    "base2": {},  # drift bracket for A/B/A runs
     "taps_legacy": {"_legacy_taps": True},
     "viewcat": {"view_concat": "on"},
     "cunroll": {"client_unroll": 1},
     "cunroll_viewcat": {"client_unroll": 1, "view_concat": "on"},
+    "dwdense": {"dw_backend": "dense"},
+    "dwdense_viewcat": {"dw_backend": "dense", "view_concat": "on"},
+    "dwreroute": {"dw_backend": "reroute", "view_concat": "on"},
+    "vmem64": {"view_concat": "on", "_env": {
+        "FEDMLP_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}},
 }
 
 
@@ -55,6 +61,9 @@ def main():
     def mk(opts):
         opts = dict(opts)
         legacy = opts.pop("_legacy_taps", False)
+        env = opts.pop("_env", {})
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         cfg = Config(
             algorithm="fedmlp", model="efficient_b0", batch_size=B,
             base_lr=3e-5, n_clients=K, local_ep=1,
@@ -71,6 +80,11 @@ def main():
         np.asarray(jax.device_get(jax.tree_util.tree_leaves(
             t.global_vars["params"])[0].ravel()[:1]))
         pallas_warp._FORCE_LEGACY_TAPS = False
+        for k_, v_ in saved.items():
+            if v_ is None:
+                os.environ.pop(k_, None)
+            else:
+                os.environ[k_] = v_
         return t
 
     trainers = {}
