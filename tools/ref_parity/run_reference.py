@@ -159,10 +159,12 @@ def main():
                 w, loss, *_rest, neg, act = local.train(
                     rnd, net=deepcopy(netglob), writer1=None)
             else:
+                # reference main.py:180-183 — round 0 passes None for
+                # both lists; later rounds index the round-0 harvests
                 out = local.train_FedMLP(
                     rnd, tao, Prototype, None,
-                    negetive_class_list[i] if negetive_class_list else None,
-                    active_class_list[i] if active_class_list else None,
+                    negetive_class_list[i] if rnd > 0 else None,
+                    active_class_list[i] if rnd > 0 else None,
                     net=deepcopy(netglob))
                 if len(out) == 8:
                     w, loss, _1, _2, neg, act, t_loc, proto_loc = out
