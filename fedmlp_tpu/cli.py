@@ -144,6 +144,9 @@ def args_parser(argv=None):
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize backbone blocks in the backward "
                         "pass (EfficientNet family; byte reduction)")
+    p.add_argument("--remat_stages", type=str, default="",
+                   help="selective remat: comma list of EfficientNet "
+                        "stage indices to rematerialize (e.g. '0,1')")
     p.add_argument("--client_unroll", type=int, default=0,
                    help="lockstep engine: unroll the per-step client map "
                         "into static-index slices (compile-time knob)")
@@ -220,6 +223,7 @@ def config_from_args(a) -> Config:
         client_unroll=a.client_unroll,
         dw_backend=a.dw_backend,
         remat=a.remat,
+        remat_stages=a.remat_stages,
         view_concat=a.view_concat,
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,

@@ -226,6 +226,12 @@ class Config:
     # attack 4): recompute FLOPs are free but bytes are unchanged at
     # 224px activation sizes. Value is MEMORY headroom, not speed.
     remat: int = 0
+    # engine: selective remat — comma list of EfficientNet STAGE indices
+    # (0-6 for b0) to rematerialize when ``remat`` is off, e.g. "0,1"
+    # recomputes only the byte-fat 112/56 px early stages whose backward
+    # reads carry the lane-padding inflation (BENCH_NOTES round-4 HLO
+    # study). Ignored for non-EfficientNet models.
+    remat_stages: str = ""
     # engine: depthwise-conv implementation for the EfficientNet family —
     # '' (platform auto: 'dense' on TPU, grouped conv elsewhere — see
     # train.py), 'conv' (XLA grouped conv), 'dense' (diagonal-masked full

@@ -178,6 +178,12 @@ class EfficientNet(nn.Module):
     # is off — the step runs inside lax.scan/lax.map where XLA CSE across
     # the remat boundary is not a hazard and the barrier costs scheduling.
     remat: bool = False
+    # Selective remat: stage indices (bi into ``blocks``) to rematerialize
+    # when ``remat`` is off. The early stages carry the byte-fat 112/56 px
+    # activations whose backward reads are lane-padding-inflated (see
+    # BENCH_NOTES round-4 HLO study) — restricting remat to them buys the
+    # byte reduction where it pays without re-running the cheap deep convs.
+    remat_stages: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -202,11 +208,12 @@ class EfficientNet(nn.Module):
                        for _, _, reps, _, _ in self.blocks)
         # static_argnums=(2,): (self, x, stochastic) — the python-bool
         # branch flag must stay compile-time static under the lift
-        block_cls = (nn.remat(MBConv, static_argnums=(2,), prevent_cse=False)
-                     if self.remat else MBConv)
+        remat_cls = nn.remat(MBConv, static_argnums=(2,), prevent_cse=False)
         gi = 0  # global block index scales the stochastic-depth rate
         for bi, (expand, ch, reps, stride, kernel) in enumerate(self.blocks):
             out_ch = _round_filters(ch, self.width_mult)
+            block_cls = (remat_cls if self.remat
+                         or bi in tuple(self.remat_stages) else MBConv)
             for r in range(_round_repeats(reps, self.depth_mult)):
                 x = block_cls(
                     in_ch=in_ch,

@@ -73,6 +73,7 @@ def build_model(
     normed_head: bool = False,
     dw_backend: str | None = None,
     remat: bool = False,
+    remat_stages: tuple = (),
 ):
     """Return the Flax module for ``name`` with an ``num_classes``-way head
     (reference: model/build_model.py:5-9 = get_model + modify_last_layer).
@@ -92,6 +93,8 @@ def build_model(
     if remat and (key.startswith("efficient_b") or key.startswith("resnet")
                   or key in ("senet50", "senet101", "senet152")):
         kw["remat"] = True
+    if remat_stages and key.startswith("efficient_b"):
+        kw["remat_stages"] = tuple(remat_stages)
     return ctor(num_classes, dtype=compute_dtype, normed_head=normed_head,
                 **kw)
 

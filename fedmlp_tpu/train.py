@@ -163,7 +163,10 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = build_model(cfg.model, cfg.n_classes, compute_dtype=dtype,
                                  dw_backend=cfg.dw_backend or None,
-                                 remat=bool(cfg.remat))
+                                 remat=bool(cfg.remat),
+                                 remat_stages=tuple(
+                                     int(s) for s in cfg.remat_stages.split(",")
+                                     if s.strip()) if cfg.remat_stages else ())
         self.global_vars = init_model(
             self.model, jax.random.PRNGKey(cfg.seed), cfg.data.image_size,
             batch=2,

@@ -61,29 +61,32 @@ def test_jit_forward():
     assert l.shape == (2, 5)
 
 
-def _mk_remat_model(family, remat):
+def _mk_remat_model(family, mode):
     if family == "efficientnet":
         from fedmlp_tpu.models.efficientnet import EfficientNet
 
         blocks = ((1, 16, 1, 1, 3), (6, 24, 1, 2, 3), (6, 40, 1, 2, 5))
         return EfficientNet(1.0, 1.0, 5, dtype=jnp.float32, blocks=blocks,
-                            remat=remat)
+                            remat=(mode is True),
+                            remat_stages=(0, 1) if mode == "stages" else ())
     from fedmlp_tpu.models.resnet import BasicBlock, ResNet
 
-    return ResNet([1, 1], BasicBlock, 5, dtype=jnp.float32, remat=remat)
+    return ResNet([1, 1], BasicBlock, 5, dtype=jnp.float32, remat=mode)
 
 
 @pytest.mark.parametrize("family", ["efficientnet", "resnet"])
 def test_remat_grads_match_base(family):
-    """remat=True must be a pure execution-schedule change: identical param
-    tree, loss, gradients, and batch-stats updates (models/efficientnet.py
-    ``EfficientNet.remat``, models/resnet.py ``ResNet.remat``). Reduced
-    block tables keep the compile fast."""
+    """remat=True (and the selective ``remat_stages`` variant) must be a
+    pure execution-schedule change: identical param tree, loss, gradients,
+    and batch-stats updates (models/efficientnet.py ``EfficientNet.remat``
+    / ``remat_stages``, models/resnet.py ``ResNet.remat``). Reduced block
+    tables keep the compile fast."""
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
     y = jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (2, 5)).astype(
         jnp.float32)
+    modes = [False, True] + (["stages"] if family == "efficientnet" else [])
     outs = {}
-    for remat in (False, True):
+    for remat in modes:
         model = _mk_remat_model(family, remat)
         variables = init_model(model, jax.random.PRNGKey(0), 32, batch=2)
 
@@ -98,12 +101,17 @@ def test_remat_grads_match_base(family):
             variables["params"], variables["batch_stats"])
         outs[remat] = (l, g, upd)
 
-    (l0, g0, u0), (l1, g1, u1) = outs[False], outs[True]
-    assert jax.tree_util.tree_structure(g0) == jax.tree_util.tree_structure(g1)
-    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(u0),
-                    jax.tree_util.tree_leaves(u1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    l0, g0, u0 = outs[False]
+    for mode in modes[1:]:
+        l1, g1, u1 = outs[mode]
+        assert (jax.tree_util.tree_structure(g0)
+                == jax.tree_util.tree_structure(g1))
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(u0),
+                        jax.tree_util.tree_leaves(u1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

@@ -37,6 +37,12 @@ VARIANTS = {
     "dwreroute": {"dw_backend": "reroute", "view_concat": "on"},
     "vmem64": {"view_concat": "on", "_env": {
         "FEDMLP_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}},
+    # selective remat of the byte-fat early stages (round-4 HLO study):
+    # recompute the 112/56 px block internals in the backward instead of
+    # round-tripping their lane-padded activations through HBM
+    "remat01": {"remat_stages": "0,1"},
+    "remat012": {"remat_stages": "0,1,2"},
+    "rematall": {"remat": 1},
 }
 
 
