@@ -233,10 +233,11 @@ class Config:
     # study). Ignored for non-EfficientNet models.
     remat_stages: str = ""
     # engine: depthwise-conv implementation for the EfficientNet family —
-    # '' (platform auto: 'dense' on TPU, grouped conv elsewhere — see
-    # train.py), 'conv' (XLA grouped conv), 'dense' (diagonal-masked full
-    # conv routing the backward through the standard conv emitter;
-    # ops/depthwise.py::depthwise_dense, round-4 A/B), 'taps', or
+    # '' (= 'conv', the measured-best default: all three replacements
+    # lost the round-4 integrated A/B), 'conv' (XLA grouped conv),
+    # 'dense' (diagonal-masked full conv routing the backward through the
+    # standard conv emitter; ops/depthwise.py::depthwise_dense,
+    # 0.875x AGAINST), 'taps', or
     # 'pallas' (XLA forward + Pallas padded-window backward,
     # ops/dw_pallas.py; per-op parity-to-slower, kept for A/Bs)
     dw_backend: str = ""

@@ -43,6 +43,9 @@ VARIANTS = {
     "remat01": {"remat_stages": "0,1"},
     "remat012": {"remat_stages": "0,1,2"},
     "rematall": {"remat": 1},
+    # round-2 closed-negative knob, re-measured once at the round-4
+    # operating point (VERDICT r3 item 7)
+    "wstream": {"weight_stream": 1},
 }
 
 
