@@ -240,6 +240,39 @@ LossFn = Callable[..., tuple[jnp.ndarray, tuple]]
 
 
 
+def resolve_augment_backend(augment_backend: str, view_mode: str = "single",
+                            platform: str | None = None):
+    """Resolve 'auto' to a concrete weak-augment backend.
+
+    TPU: the fused v3/v4 block-parallel warp kernel (one dynamic roll per
+    8-row block + static-tap lerp) beat the v1 3-kernel Paeth pipeline
+    +6.9% on the flagship stage-1 round (probe_warp_round, round 3); the
+    gather-based bilinear warp is ~5x slower than either. Off-TPU the jnp
+    gather formulation is the fast one.
+
+    EXCEPTION: programs that also carry the strong-view RandAugment
+    pipeline ('weak_strong', i.e. FixMatch/CBAFed-style clients) have
+    crashed the TPU worker at scale (K=20 B=32 224px, UNAVAILABLE
+    kernel fault) — twice with the fused kernel (round 3; round-4
+    ladder rung 5 at 4 steps/round) and once with the v1 'pallas'
+    pipeline (round-4 re-measure, same config). The fault is FLAKY
+    (the identical config also passes; see BENCH_NOTES "Round-4:
+    BASELINE ladder") and follows the weak+strong program, not the
+    weak backend — a libtpu-level fault we cannot patch. 'auto'
+    selects 'pallas' for weak+strong programs (fewest observed
+    crashes; regression: tests/test_augment.py::
+    test_auto_backend_weak_strong_fallback) and long runs should use
+    the retry-on-UNAVAILABLE runner (tools/resilient_run.py).
+    """
+    if augment_backend != "auto":
+        return augment_backend
+    if platform is None:
+        platform = jax.devices()[0].platform
+    if platform != "tpu":
+        return "gather"
+    return "pallas" if view_mode == "weak_strong" else "fused"
+
+
 def _pick_weak_backend(augment_backend: str):
     """Weak-augmentation implementation by name. 'auto' resolved upstream.
 
@@ -326,15 +359,7 @@ def make_local_round(
     tx = torch_adam(lr, weight_decay)
     has_teacher = teacher_decay is not None
 
-    if augment_backend == "auto":
-        # TPU: the fused v3 block-parallel warp kernel (one dynamic roll
-        # per 8-row block + static-tap lerp) — beat the v1 3-kernel Paeth
-        # pipeline +6.9% on the flagship stage-1 round (probe_warp_round,
-        # round 3); the gather-based bilinear warp is ~5x slower than
-        # either. Off-TPU the jnp gather formulation is the fast one.
-        augment_backend = (
-            "fused" if jax.devices()[0].platform == "tpu" else "gather"
-        )
+    augment_backend = resolve_augment_backend(augment_backend, view_mode)
     weak = _pick_weak_backend(augment_backend)
 
     def augment_views(imgs_u8, key):
@@ -698,10 +723,7 @@ def make_stacked_local_round(
     cannot express."""
     tx = torch_adam(lr, weight_decay)
 
-    if augment_backend == "auto":
-        augment_backend = (
-            "fused" if jax.devices()[0].platform == "tpu" else "gather"
-        )
+    augment_backend = resolve_augment_backend(augment_backend, view_mode)
     weak = _pick_weak_backend(augment_backend)
 
     def augment_views(imgs_u8, key):
@@ -862,10 +884,7 @@ def make_lockstep_local_round(
     (compile-time experiment knob)."""
     tx = torch_adam(lr, weight_decay)
 
-    if augment_backend == "auto":
-        augment_backend = (
-            "fused" if jax.devices()[0].platform == "tpu" else "gather"
-        )
+    augment_backend = resolve_augment_backend(augment_backend, view_mode)
     weak = _pick_weak_backend(augment_backend)
 
     def _per_image_keys(ka_s, view_idx, n_per, B):
@@ -1099,10 +1118,7 @@ def make_harvest_fn(model, mean, std, batch_size: int,
     reference utils/local_training.py:971-1002/1023-1049, would otherwise
     defeat client parallelism every round)."""
 
-    if augment_backend == "auto":
-        augment_backend = (
-            "fused" if jax.devices()[0].platform == "tpu" else "gather"
-        )
+    augment_backend = resolve_augment_backend(augment_backend, "single")
     weak = _pick_weak_backend(augment_backend)
 
     def one_batch(vars_k, imgs_u8, key):

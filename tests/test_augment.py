@@ -88,3 +88,21 @@ def test_strong_batch_jit(rng):
 def test_cutout_fills_gray(img):
     out = np.asarray(A.cutout_abs(img, jax.random.PRNGKey(3), 8))
     assert (out == A.FILL_GRAY).any()
+
+
+def test_auto_backend_weak_strong_fallback():
+    """'auto' must NOT resolve to the fused warp kernel for weak+strong
+    (FixMatch-style) programs on TPU: that combination has crashed the
+    TPU worker at scale twice (K=20 B=32 224px — round-3 session 5 and
+    the round-4 ladder rung 5) vs once for the v1 'pallas' pipeline.
+    The fault is flaky and libtpu-level (BENCH_NOTES round-4 ladder
+    section); 'pallas' is the least-crashing choice, and long
+    weak_strong runs should go through tools/resilient_run.py."""
+    from fedmlp_tpu.parallel.fl_runtime import resolve_augment_backend
+
+    assert resolve_augment_backend("auto", "weak_strong", "tpu") == "pallas"
+    assert resolve_augment_backend("auto", "dual", "tpu") == "fused"
+    assert resolve_augment_backend("auto", "single", "tpu") == "fused"
+    assert resolve_augment_backend("auto", "weak_strong", "cpu") == "gather"
+    # explicit backends are never overridden
+    assert resolve_augment_backend("fused", "weak_strong", "tpu") == "fused"
