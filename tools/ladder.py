@@ -47,6 +47,7 @@ def main():
     R = 2 if quick else 3
     sel = os.environ.get("LADDER_RUNGS")
     sel = {int(x) for x in sel.split(",")} if sel else {1, 2, 3, 4, 5}
+    only = os.environ.get("LADDER_ONLY")  # substring filter on rung name
 
     # (rung, runner, kwargs) — N = steps-per-round * K * B
     rungs = []
@@ -81,6 +82,9 @@ def main():
                                N=20 * 32 * 4, SIZE=224, PROFILE=None,
                                algo=algo, n_classes=8, p_pos=0.0,
                                label=f"rung5 baseline {algo} 20-client")))
+
+    if only:
+        rungs = [r for r in rungs if only in r[1]]
 
     summary = []
     for rung, name, fn, kw in rungs:
