@@ -84,9 +84,11 @@ def loss_fn_viewcat(params, rest, model, views, sample, svalid, ctx, cstate,
 
     The reference runs net(x1) then net(x2) sequentially (utils/
     local_training.py:937-947); concatenating halves the conv op count —
-    the flagship program is op-issue-bound at B=32 (BENCH_NOTES round-3
-    profile: 497 GB/s / 8 TFLOPs, neither roofline). Semantics deviation
-    (engine knob view_concat, default off): BN batch statistics are
+    more importantly the 2B=64 batch halves the batch-minor lane-padding
+    waste XLA's layout assignment puts on every C<=32 activation
+    (BENCH_NOTES round-4 HLO study; measured +14% on the flagship, now
+    the TPU default via view_concat='auto'). Semantics deviation: BN
+    batch statistics are
     computed over the joint 2B batch and the running stats update once
     per step instead of twice; the loss math is otherwise identical to
     ``loss_fn``."""
