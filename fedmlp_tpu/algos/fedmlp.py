@@ -93,7 +93,11 @@ def loss_fn_viewcat(params, rest, model, views, sample, svalid, ctx, cstate,
     per step instead of twice; the loss math is otherwise identical to
     ``loss_fn``."""
     labels = sample["labels"]
-    x = jnp.concatenate([views["x1"], views["x2"]], axis=0)
+    # "x12": views pre-concatenated once per step by the lockstep engine
+    # (view_precat) — avoids a per-client layout-conversion copy in the map
+    x = views.get("x12")
+    if x is None:
+        x = jnp.concatenate([views["x1"], views["x2"]], axis=0)
     _, logits, rest1 = apply_train(model, params, rest, x, rng)
     logits1, logits2 = jnp.split(logits, 2, axis=0)
     p1 = jax.nn.sigmoid(logits1)

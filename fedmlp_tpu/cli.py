@@ -141,6 +141,11 @@ def args_parser(argv=None):
                    help="dual-view losses as one 2B forward (FedMLP "
                         "stage 1; joint-BN semantics; auto = on for TPU, "
                         "+14%% flagship stage-1, BENCH_NOTES round 4)")
+    p.add_argument("--view_precat", type=str, default="auto",
+                   choices=["auto", "off", "on"],
+                   help="hoist the viewcat 2B concat out of the per-client "
+                        "map (lockstep; bitwise-identical; measured neutral "
+                        "on the flagship — auto = off)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize backbone blocks in the backward "
                         "pass (EfficientNet family; byte reduction)")
@@ -225,6 +230,7 @@ def config_from_args(a) -> Config:
         remat=a.remat,
         remat_stages=a.remat_stages,
         view_concat=a.view_concat,
+        view_precat=a.view_precat,
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,
         weight_stream=a.weight_stream,

@@ -214,6 +214,16 @@ class Config:
     # A/Bs (round 4; round 3's neutral verdict predated the warp-v3
     # bottleneck shift) — 'auto' = on for TPU, off elsewhere.
     view_concat: str = "auto"
+    # engine: when the viewcat loss is active (lockstep engine), hoist the
+    # 2B view concat out of the per-client lax.map — one step-level concat
+    # at [Kl, 2B, ...] instead of K in-map slice+concat chains, each of
+    # which lowered to a 38.5 MB layout-conversion copy in the round-4
+    # stage-1 trace. Bitwise-identical math (same concat order,
+    # tests/test_lockstep_round.py::test_view_precat_bitwise). Measured
+    # NEUTRAL on the flagship (round-4 tail A/B: precat_off 1.0074 vs
+    # drift 1.0036 — the conversion moves to the step-level concat rather
+    # than disappearing); 'auto' = off, kept as a tested knob.
+    view_precat: str = "auto"
     # engine: unroll the lockstep engine's per-step lax.map over clients
     # into a Python loop of static-index slices — removes the map's
     # dynamic-slice/update machinery at a K×-larger step program

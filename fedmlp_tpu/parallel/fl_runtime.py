@@ -871,6 +871,7 @@ def make_lockstep_local_round(
     augment_backend: str = "auto",
     scan_unroll: int = 1,
     client_unroll: bool = False,
+    view_precat: bool = False,
 ):
     """Drop-in alternative to ``make_local_round`` for algorithms without
     teacher/cstate/post_step hooks (FedMLP stage-1/stage-2, FedNoRo).
@@ -881,7 +882,18 @@ def make_lockstep_local_round(
     Python loop of static-index slices: the map's dynamic-slice /
     dynamic-update-slice machinery (~62k tiny ops per flagship round,
     round-3 profile) disappears at the cost of a K×-larger step program
-    (compile-time experiment knob)."""
+    (compile-time experiment knob).
+
+    ``view_precat`` (set by the trainer when the algorithm's viewcat loss
+    is active): concatenate the two weak views ONCE per step at
+    [Kl, 2B, ...] in the step body instead of per-client inside the
+    lax.map — the round-4 stage-1 trace showed each client's in-map
+    ``jnp.concatenate`` lowering to a 38.5 MB layout-conversion copy
+    ({2,1,3,0} → batch-minor {0,3,2,1}, 1.45 ms/step across K=20). Same
+    concat order ⇒ bitwise-identical math
+    (tests/test_lockstep_round.py::test_view_precat_bitwise). Measured
+    NEUTRAL on the flagship (the conversion moves to the step-level
+    concat rather than disappearing) — default off, tested knob."""
     tx = torch_adam(lr, weight_decay)
 
     augment_backend = resolve_augment_backend(augment_backend, view_mode)
@@ -979,6 +991,11 @@ def make_lockstep_local_round(
                     k: v.reshape((Kl, B) + v.shape[1:])
                     for k, v in views_flat.items()
                 }
+                if view_precat and "x1" in views_k and "x2" in views_k:
+                    # one step-level concat; the map slices [2B, ...] per
+                    # client (see view_precat in the factory docstring)
+                    views_k["x12"] = jnp.concatenate(
+                        [views_k.pop("x1"), views_k.pop("x2")], axis=1)
                 sample_s = dict(sample_s)
                 sample_s["_pos"] = pos_s
 

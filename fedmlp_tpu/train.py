@@ -206,6 +206,17 @@ class Trainer:
                 and hasattr(self.algo, "loss_fn_viewcat")):
             algo_loss = self.algo.loss_fn_viewcat
             log.info("engine: dual views concatenated into one 2B forward")
+        viewcat_active = algo_loss is getattr(self.algo, "loss_fn_viewcat",
+                                              None)
+        view_precat = cfg.view_precat
+        if view_precat == "auto":
+            # measured NEUTRAL on the flagship (round-4 A/B: the layout
+            # conversion moves to the step-level concat instead of
+            # disappearing) — default off, kept as a tested knob
+            view_precat = "off"
+        # hoist the 2B concat out of the per-client map (lockstep only;
+        # only meaningful when the viewcat loss is the active loss)
+        use_precat = view_precat == "on" and viewcat_active
         if self._use_stacked():
             self.round_fn = rt.make_stacked_local_round(
                 self.model,
@@ -237,6 +248,7 @@ class Trainer:
                 augment_backend=cfg.data.augment_backend,
                 scan_unroll=cfg.scan_unroll,
                 client_unroll=bool(cfg.client_unroll),
+                view_precat=use_precat,
             )
             log.info("engine: lockstep mapped clients (K·B-batched "
                      "frozen-global forwards)")

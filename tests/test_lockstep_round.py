@@ -70,6 +70,26 @@ def test_lockstep_round_matches_mapped():
                                    rtol=2e-3, atol=5e-4)
 
 
+def test_view_precat_bitwise():
+    """view_precat hoists the viewcat 2B concat out of the per-client map
+    (one [Kl, 2B, ...] concat per step). Same concat order ⇒ the training
+    trajectory must be BITWISE identical to the in-map concat."""
+    import dataclasses
+
+    # viewcat forced on on both sides (auto resolves off on CPU), precat
+    # flipped between them
+    cfg_on = dataclasses.replace(_cfg("on"), view_concat="on",
+                                 view_precat="on")
+    cfg_no = dataclasses.replace(_cfg("on"), view_concat="on",
+                                 view_precat="off")
+    t_pre, l_pre = _run(cfg_on, rounds=2)
+    t_nop, l_nop = _run(cfg_no, rounds=2)
+    np.testing.assert_array_equal(np.asarray(l_pre), np.asarray(l_nop))
+    for a, b in zip(jax.tree_util.tree_leaves(t_pre.global_vars),
+                    jax.tree_util.tree_leaves(t_nop.global_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lockstep_stage2_distill_matches_mapped():
     """The stage-2 distillation variant routes g_logits through the
     single-view lockstep path ('g_logits' key) — must equal mapped."""

@@ -46,6 +46,9 @@ VARIANTS = {
     # round-2 closed-negative knob, re-measured once at the round-4
     # operating point (VERDICT r3 item 7)
     "wstream": {"weight_stream": 1},
+    # round-4 tail: hoisted 2B concat (per-client in-map concat lowered to
+    # a 38.5 MB layout-conversion copy each, stage-1 trace r4b)
+    "precat_off": {"view_precat": "off"},
 }
 
 
