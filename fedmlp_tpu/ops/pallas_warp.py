@@ -198,22 +198,33 @@ def _use_pallas(flag):
 # ----------------------------------------------------------------------
 
 _RB = 8  # rows per shear block (f32 sublane tile)
+# v5 experiment knob: rows per shear block. The round-4 profile showed the
+# kernel VMEM-LATENCY-bound (not FMA-bound: the v4 tap shrink measured
+# 1.0007 neutral); the candidate lever was the count of serialized dynamic
+# rolls — S/RB per pass, 3 passes, one roll each inside a fori_loop.
+# Doubling RB halves the rolls at the cost of a wider tap set computing the
+# SAME lerp (extra taps carry exact 0.0 weights; outputs agree to
+# FMA-contraction rounding, tests/test_pallas_warp.py::
+# test_fused_warp_rb_override_*). MEASURED NEUTRAL end-to-end: rb16 and
+# rb32 both ≤0.3% vs the drift bracket on the flagship A/B (BENCH_NOTES
+# round-4 warp-v5 entry) — the per-image 26 us is per-call/DMA overhead,
+# not roll serialization. Knob kept for future hardware.
+_RB_OVERRIDE: int | None = None  # set by tools/probe_flagship_ab.py
 
 
-def _taps_for_slope(max_slope: float) -> tuple:
+def _taps_for_slope(max_slope: float, rb: int = _RB) -> tuple:
     """Static tap offsets covering every per-row integer shift within an
-    8-row block. Rows sit at |y − y_mid| ≤ 3.5, so the row shift deviates
-    from the block's mid-row shift by at most d = 3.5·|slope|; with
-    kb = floor(s_mid), rel = floor(s_mid + δ) − kb ∈ [floor(−d), floor(1+d)]
-    and each row needs taps rel (weight 1−w) and rel+1 (weight w). Taps
-    outside a row's pair get an exact 0.0 weight, so shrinking the tap set
-    to this bound is bit-identical — the 10° weak augment (|slope| ≤
-    sin 10° = 0.174, d = 0.61) needs 4 taps where the old fixed set spent 6
-    (the tap FMAs are the kernel's VMEM-bandwidth cost: 36.7 ms/step
-    stage-1, 220 ms/round stage-2 in the round-4 flagship profile)."""
+    rb-row block. Rows sit at |y − y_mid| ≤ (rb−1)/2, so the row shift
+    deviates from the block's mid-row shift by at most d = (rb−1)/2·|slope|;
+    with kb = floor(s_mid), rel = floor(s_mid + δ) − kb ∈
+    [floor(−d), floor(1+d)] and each row needs taps rel (weight 1−w) and
+    rel+1 (weight w). Taps outside a row's pair get an exact 0.0 weight, so
+    sizing the tap set to this bound is bit-identical — the 10° weak augment
+    (|slope| ≤ sin 10° = 0.174) needs 4 taps at rb=8 (d = 0.61) where the
+    legacy fixed set spent 6, and 6 taps at rb=16 (d = 1.30)."""
     import math
 
-    d = 3.5 * float(max_slope) + 1e-3
+    d = (rb - 1) / 2.0 * float(max_slope) + 1e-3
     lo = math.floor(-d)
     hi = math.floor(1.0 + d) + 1
     return tuple(range(lo, hi + 1))
@@ -224,7 +235,7 @@ _FORCE_LEGACY_TAPS = False  # A/B hook (tools/probe_flagship_ab.py)
 
 
 def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
-                       mean, std, taps):
+                       mean, std, taps, rb):
     """p_ref SMEM [3, 3] per-pass shear params (slope, offset, center):
     shift_row(y) = slope·(y − center) + offset. img_ref u8 [3, S, S];
     out_ref f32 [3, S, S]; buf_a/buf_b VMEM [3, S, Sp] ping-pong with a
@@ -237,24 +248,24 @@ def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
         # per-block row iota [1, RB, 1], broadcasts against [3, RB, S]
         # (Mosaic iota must be integer-typed; cast after)
         riota = jax.lax.broadcasted_iota(
-            jnp.int32, (1, _RB, 1), 1).astype(jnp.float32)
+            jnp.int32, (1, rb, 1), 1).astype(jnp.float32)
 
         def body(b, _):
-            y0 = (b * _RB).astype(jnp.float32)
+            y0 = (b * rb).astype(jnp.float32)
             # block-common integer shift from the mid-row shift
-            s_mid = slope * (y0 + (_RB - 1) / 2.0 - center) + offset
+            s_mid = slope * (y0 + (rb - 1) / 2.0 - center) + offset
             kb = jnp.floor(s_mid).astype(jnp.int32)
             # per-row shift vector for this block
             s_vec = slope * (y0 + riota - center) + offset  # [1, RB, 1]
             k_vec = jnp.floor(s_vec)
             w = s_vec - k_vec  # [1, RB, 1] fractional part
-            rel = k_vec.astype(jnp.int32) - kb  # ∈ [-2, 2]
-            rows = src[:, pl.ds(b * _RB, _RB), :]  # [3, RB, Sp]
+            rel = k_vec.astype(jnp.int32) - kb  # within the tap bound
+            rows = src[:, pl.ds(b * rb, rb), :]  # [3, RB, Sp]
             # one dynamic rotate per block; non-negative cyclic shift only
             # (compiled Mosaic mis-lowers negative traced rolls — see
             # _hshift_kernel)
             rolled = pltpu.roll(rows, jnp.mod(-kb, Sp), axis=2)
-            val = jnp.zeros((3, _RB, S), jnp.float32)
+            val = jnp.zeros((3, rb, S), jnp.float32)
             for d in taps:
                 # tap_d[x] = src[x + kb + d]; row r needs d = k_r − kb
                 # (weight 1−w) and d = k_r − kb + 1 (weight w)
@@ -266,12 +277,12 @@ def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
                 for c in range(3):
                     m = float(mean[c]) * 255.0
                     sd = float(std[c]) * 255.0
-                    out_ref[c, pl.ds(b * _RB, _RB), :] = (val[c] - m) / sd
+                    out_ref[c, pl.ds(b * rb, rb), :] = (val[c] - m) / sd
             else:
-                dst[:, pl.ds(b * _RB, _RB), 128 : 128 + S] = val
+                dst[:, pl.ds(b * rb, rb), 128 : 128 + S] = val
             return 0
 
-        jax.lax.fori_loop(0, S // _RB, body, 0)
+        jax.lax.fori_loop(0, S // rb, body, 0)
 
     zeros = jnp.zeros((3, S, Sp), jnp.float32)
     buf_a[:] = zeros
@@ -301,12 +312,19 @@ def fused_warp_normalize(img_u8_planar, params, mean, std,
         interpret = jax.devices()[0].platform != "tpu"
     C, S, S2 = img_u8_planar.shape
     assert C == 3 and S == S2, "fused warp expects square RGB planar input"
-    assert S % _RB == 0, f"image size must be a multiple of {_RB}"
+    rb = _RB if _RB_OVERRIDE is None else _RB_OVERRIDE
+    assert rb % _RB == 0, f"rows_per_block must be a multiple of {_RB}"
+    if S % rb:
+        rb = _RB  # fall back to the sublane tile for odd sizes
+    assert S % rb == 0, f"image size must be a multiple of {rb}"
     taps = (_TAPS_DEFAULT if max_slope is None or _FORCE_LEGACY_TAPS
-            else _taps_for_slope(max_slope))
+            else _taps_for_slope(max_slope, rb))
+    if _FORCE_LEGACY_TAPS:
+        rb = _RB  # the legacy fixed set only covers the 8-row bound
     Sp = ((S + 160 + 127) // 128) * 128  # 128 left margin + ≥32 right slack
     kernel = functools.partial(_fused_warp_kernel, S=S, Sp=Sp,
-                               mean=tuple(mean), std=tuple(std), taps=taps)
+                               mean=tuple(mean), std=tuple(std), taps=taps,
+                               rb=rb)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, S, S), jnp.float32),

@@ -108,6 +108,48 @@ def test_fused_warp_matches_paeth_pipeline():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_warp_rb_override_matches_default():
+    """v5 wider shear blocks (fewer serialized dynamic rolls) compute the
+    SAME lerp — the wider tap set covers every per-row integer shift in the
+    block and the extra taps carry exact 0.0 weights (see _taps_for_slope;
+    a numpy replica of the kernel math is exactly equal across rb). The
+    compiled/interpreted outputs may differ by FMA-contraction rounding
+    (different tap counts → different fusion shapes), so compare to 1-ulp
+    tolerance on the normalized scale."""
+    from fedmlp_tpu.ops import pallas_warp
+
+    imgs = jnp.asarray(
+        np.random.RandomState(3).randint(0, 256, (4, 64, 64, 3), np.uint8))
+    key = jax.random.PRNGKey(7)
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    base = np.asarray(pallas_warp.weak_augment_batch_fused(
+        imgs, key, mean, std, use_pallas=False))
+    for rb in (16, 32):
+        pallas_warp._RB_OVERRIDE = rb
+        try:
+            got = np.asarray(pallas_warp.weak_augment_batch_fused(
+                imgs, key, mean, std, use_pallas=False))
+        finally:
+            pallas_warp._RB_OVERRIDE = None
+        np.testing.assert_allclose(got, base, rtol=0, atol=3e-6)
+
+
+def test_taps_for_slope_covers_block_bound():
+    """The rb-parametrized tap set must cover rel ∈ [floor(−d), floor(1+d)]
+    plus the +1 lerp partner for d = (rb−1)/2·slope."""
+    import math
+
+    from fedmlp_tpu.ops.pallas_warp import _taps_for_slope
+
+    for rb in (8, 16, 32):
+        for slope in (0.05, 0.1736, 0.2679):  # up to tan(15°)
+            taps = _taps_for_slope(slope, rb)
+            d = (rb - 1) / 2.0 * slope
+            assert taps[0] <= math.floor(-d)
+            assert taps[-1] >= math.floor(1.0 + d) + 1
+
+
 def test_roll_shift_sign_semantics():
     """Cyclic-shift equivalence used by the non-negative-mod workaround:
     roll(x, mod(-k, W)) == roll(x, -k) for positive and negative k (the

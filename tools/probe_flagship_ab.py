@@ -49,6 +49,11 @@ VARIANTS = {
     # round-4 tail: hoisted 2B concat (per-client in-map concat lowered to
     # a 38.5 MB layout-conversion copy each, stage-1 trace r4b)
     "precat_off": {"view_precat": "off"},
+    # warp v5: wider shear blocks — fewer serialized dynamic rolls per
+    # pass (the kernel is VMEM-latency-bound, round-4 profile) at the cost
+    # of a wider bit-identical tap set
+    "rb16": {"_rb": 16},
+    "rb32": {"_rb": 32},
 }
 
 
@@ -73,6 +78,7 @@ def main():
     def mk(opts):
         opts = dict(opts)
         legacy = opts.pop("_legacy_taps", False)
+        rb = opts.pop("_rb", None)
         env = opts.pop("_env", {})
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
@@ -87,11 +93,13 @@ def main():
             compute_dtype="bfloat16", **opts,
         )
         pallas_warp._FORCE_LEGACY_TAPS = legacy
+        pallas_warp._RB_OVERRIDE = rb
         t = Trainer(cfg)
-        t.run_round(0)  # compile under the current taps flag
+        t.run_round(0)  # compile under the current taps/rb flags
         np.asarray(jax.device_get(jax.tree_util.tree_leaves(
             t.global_vars["params"])[0].ravel()[:1]))
         pallas_warp._FORCE_LEGACY_TAPS = False
+        pallas_warp._RB_OVERRIDE = None
         for k_, v_ in saved.items():
             if v_ is None:
                 os.environ.pop(k_, None)
