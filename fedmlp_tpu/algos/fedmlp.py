@@ -416,6 +416,7 @@ def _get_stage2_fn(trainer):
                 augment_backend=trainer.cfg.data.augment_backend,
                 scan_unroll=trainer.cfg.scan_unroll,
                 client_unroll=bool(trainer.cfg.client_unroll),
+                small_pack=trainer.cfg.small_pack,
             )
             return trainer._fedmlp_stage2_fn
         trainer._fedmlp_stage2_fn = rt.make_local_round(

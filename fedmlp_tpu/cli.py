@@ -155,6 +155,9 @@ def args_parser(argv=None):
     p.add_argument("--client_unroll", type=int, default=0,
                    help="lockstep engine: unroll the per-step client map "
                         "into static-index slices (compile-time knob)")
+    p.add_argument("--small_pack", type=int, default=0,
+                   help="lockstep engine: pack per-client map outputs with "
+                        "<= N elements into one flat vector (0 = off)")
     p.add_argument("--dw_backend", type=str, default="",
                    choices=["", "conv", "taps", "pallas", "dense"],
                    help="EfficientNet depthwise-conv impl (models/"
@@ -226,6 +229,7 @@ def config_from_args(a) -> Config:
         compute_dtype=a.compute_dtype,
         scan_unroll=a.scan_unroll,
         client_unroll=a.client_unroll,
+        small_pack=a.small_pack,
         dw_backend=a.dw_backend,
         remat=a.remat,
         remat_stages=a.remat_stages,

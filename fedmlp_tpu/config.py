@@ -229,6 +229,15 @@ class Config:
     # dynamic-slice/update machinery at a K×-larger step program
     # (compile-time experiment knob; A/B'd in BENCH_NOTES round 4)
     client_unroll: int = 0
+    # engine: pack every f32 leaf of the lockstep map's per-client output
+    # (grads + updated batch stats) with <= N elements into ONE flat
+    # vector inside the map and unpack via slices outside — collapses the
+    # ~250 tiny per-client stacked outputs (BN scale/bias grads + running
+    # stats, f32[16..1280]) whose dynamic-update-slice copies pay pure DMA
+    # latency 20x/step (round-4 trace: ~15.6 ms/step of copy-done in nine
+    # tiny buffers). Bit-identical math (reshape/concat/slice only,
+    # tests/test_lockstep_round.py::test_small_pack_bitwise). 0 = off.
+    small_pack: int = 0
     # engine: rematerialize backbone blocks in the backward pass
     # (EfficientNet/ResNet/SENet families) — saves only block inputs as
     # residuals and recomputes the internals during the gradient.

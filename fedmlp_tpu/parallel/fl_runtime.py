@@ -872,6 +872,7 @@ def make_lockstep_local_round(
     scan_unroll: int = 1,
     client_unroll: bool = False,
     view_precat: bool = False,
+    small_pack: int = 0,
 ):
     """Drop-in alternative to ``make_local_round`` for algorithms without
     teacher/cstate/post_step hooks (FedMLP stage-1/stage-2, FedNoRo).
@@ -893,7 +894,17 @@ def make_lockstep_local_round(
     concat order ⇒ bitwise-identical math
     (tests/test_lockstep_round.py::test_view_precat_bitwise). Measured
     NEUTRAL on the flagship (the conversion moves to the step-level
-    concat rather than disappearing) — default off, tested knob."""
+    concat rather than disappearing) — default off, tested knob.
+
+    ``small_pack`` (elements, 0 = off): inside the per-client map, ravel
+    every f32 leaf of (grads, new_rest) with <= small_pack elements into
+    ONE flat vector and slice it back apart outside the map. The map's
+    stacked output then has one [Kl, n] buffer where it had ~250 tiny
+    ones (BN scale/bias grads + running stats) — each of which is a
+    separate dynamic-update-slice stream paying DMA latency per client
+    per step (round-4 trace: ~15.6 ms/step of tiny copy-done).
+    Reshape/concat/slice only ⇒ bit-identical
+    (tests/test_lockstep_round.py::test_small_pack_bitwise)."""
     tx = torch_adam(lr, weight_decay)
 
     augment_backend = resolve_augment_backend(augment_backend, view_mode)
@@ -999,6 +1010,11 @@ def make_lockstep_local_round(
                 sample_s = dict(sample_s)
                 sample_s["_pos"] = pos_s
 
+                # small_pack spec: filled at trace time of `one` (lax.map
+                # traces the body synchronously, so the cell is populated
+                # by the time the stacked outputs are unpacked below)
+                pack_spec = {}
+
                 def one(args):
                     # gradient only — the conv-heavy part that must stay
                     # per-client (vmapped per-client-filter convs lower
@@ -1018,7 +1034,22 @@ def make_lockstep_local_round(
 
                     (loss, (new_rest, _aux)), grads = jax.value_and_grad(
                         lf, has_aux=True)(params)
-                    return grads, new_rest, loss
+                    if not small_pack:
+                        return grads, new_rest, loss
+                    leaves, treedef = jax.tree_util.tree_flatten(
+                        (grads, new_rest))
+                    small = frozenset(
+                        i for i, l in enumerate(leaves)
+                        if l.size <= small_pack and l.dtype == jnp.float32)
+                    pack_spec["treedef"] = treedef
+                    pack_spec["small"] = small
+                    pack_spec["shapes"] = [l.shape for l in leaves]
+                    big = tuple(l for i, l in enumerate(leaves)
+                                if i not in small)
+                    flat = (jnp.concatenate(
+                        [leaves[i].reshape(-1) for i in sorted(small)])
+                        if small else jnp.zeros((1,), jnp.float32))
+                    return big, flat, loss
 
                 map_args = (vars_s, views_k, sample_s, valid_s, ctx, kl_s)
                 if client_unroll:
@@ -1026,11 +1057,30 @@ def make_lockstep_local_round(
                         one(jax.tree_util.tree_map(lambda x: x[k], map_args))
                         for k in range(Kl)
                     ]
-                    grads, new_rest, loss = jax.tree_util.tree_map(
+                    mapped = jax.tree_util.tree_map(
                         lambda *xs: jnp.stack(xs), *outs
                     )
                 else:
-                    grads, new_rest, loss = jax.lax.map(one, map_args)
+                    mapped = jax.lax.map(one, map_args)
+                if small_pack:
+                    big_t, flat_t, loss = mapped
+                    small, shapes = pack_spec["small"], pack_spec["shapes"]
+                    leaves_out, bi, off = [], 0, 0
+                    for i, shp in enumerate(shapes):
+                        if i in small:
+                            sz = 1
+                            for d in shp:
+                                sz *= d
+                            leaves_out.append(
+                                flat_t[:, off:off + sz].reshape((Kl,) + shp))
+                            off += sz
+                        else:
+                            leaves_out.append(big_t[bi])
+                            bi += 1
+                    grads, new_rest = jax.tree_util.tree_unflatten(
+                        pack_spec["treedef"], leaves_out)
+                else:
+                    grads, new_rest, loss = mapped
                 has_any = (valid_s.sum(1) > 0).astype(jnp.float32)  # [Kl]
                 params_s = vars_s["params"]
                 updates, opt_s = jax.vmap(tx.update)(grads, opt_s, params_s)

@@ -249,6 +249,7 @@ class Trainer:
                 scan_unroll=cfg.scan_unroll,
                 client_unroll=bool(cfg.client_unroll),
                 view_precat=use_precat,
+                small_pack=cfg.small_pack,
             )
             log.info("engine: lockstep mapped clients (K·B-batched "
                      "frozen-global forwards)")

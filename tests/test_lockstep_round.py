@@ -90,6 +90,25 @@ def test_view_precat_bitwise():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_small_pack_bitwise():
+    """small_pack ravels the map's tiny f32 output leaves (BN scale/bias
+    grads + running stats) into one flat vector inside the map and slices
+    them back outside — reshape/concat/slice only, so the training
+    trajectory must be BITWISE identical through both stages (stage 2's
+    lockstep factory receives the knob too, algos/fedmlp.py)."""
+    import dataclasses
+
+    cfg_off = dataclasses.replace(_cfg("on"), small_pack=0)
+    cfg_on = dataclasses.replace(_cfg("on"), small_pack=4096)
+    t_off, l_off = _run(cfg_off, rounds=3)
+    t_on, l_on = _run(cfg_on, rounds=3)
+    assert t_on._use_lockstep()
+    np.testing.assert_array_equal(np.asarray(l_off), np.asarray(l_on))
+    for a, b in zip(jax.tree_util.tree_leaves(t_off.global_vars),
+                    jax.tree_util.tree_leaves(t_on.global_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lockstep_stage2_distill_matches_mapped():
     """The stage-2 distillation variant routes g_logits through the
     single-view lockstep path ('g_logits' key) — must equal mapped."""

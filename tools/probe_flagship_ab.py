@@ -54,6 +54,11 @@ VARIANTS = {
     # of a wider bit-identical tap set
     "rb16": {"_rb": 16},
     "rb32": {"_rb": 32},
+    # round-4 tail: pack the lockstep map's ~250 tiny f32 output leaves
+    # (BN scale/bias grads + running stats) into one flat vector — attacks
+    # the ~15.6 ms/step of tiny per-client copy-done DMA latency
+    "smallpack": {"small_pack": 4096},
+    "smallpack16k": {"small_pack": 16384},
 }
 
 
