@@ -233,9 +233,15 @@ def _taps_for_slope(max_slope: float, rb: int = _RB) -> tuple:
 _TAPS_DEFAULT = (-2, -1, 0, 1, 2, 3)  # legacy bound: |slope| ≤ tan(15°)
 _FORCE_LEGACY_TAPS = False  # A/B hook (tools/probe_flagship_ab.py)
 
+# TIMING-ONLY kernel ablations for tools/probe_warp_micro.py — every value
+# except "full" produces GARBAGE pixels and exists solely to attribute the
+# per-image kernel time (zero-init / transpose / roll / tap-coefficient /
+# DMA+cast floor). Never set outside that probe.
+_ABLATE = "full"
+
 
 def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
-                       mean, std, taps, rb):
+                       mean, std, taps, rb, ablate="full"):
     """p_ref SMEM [3, 3] per-pass shear params (slope, offset, center):
     shift_row(y) = slope·(y − center) + offset. img_ref u8 [3, S, S];
     out_ref f32 [3, S, S]; buf_a/buf_b VMEM [3, S, Sp] ping-pong with a
@@ -264,13 +270,19 @@ def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
             # one dynamic rotate per block; non-negative cyclic shift only
             # (compiled Mosaic mis-lowers negative traced rolls — see
             # _hshift_kernel)
-            rolled = pltpu.roll(rows, jnp.mod(-kb, Sp), axis=2)
+            if ablate == "noroll":  # timing-only: skip the dynamic rotate
+                rolled = rows
+            else:
+                rolled = pltpu.roll(rows, jnp.mod(-kb, Sp), axis=2)
             val = jnp.zeros((3, rb, S), jnp.float32)
             for d in taps:
                 # tap_d[x] = src[x + kb + d]; row r needs d = k_r − kb
                 # (weight 1−w) and d = k_r − kb + 1 (weight w)
-                c_d = jnp.where(rel == d, 1.0 - w, 0.0) + jnp.where(
-                    rel == d - 1, w, 0.0)
+                if ablate == "notaps":  # timing-only: constant weights
+                    c_d = 0.25
+                else:
+                    c_d = jnp.where(rel == d, 1.0 - w, 0.0) + jnp.where(
+                        rel == d - 1, w, 0.0)
                 val = val + c_d * rolled[:, :, 128 + d : 128 + d + S]
             if normalize_out:
                 # python-unrolled channels: scalars only, no captured consts
@@ -284,19 +296,33 @@ def _fused_warp_kernel(p_ref, img_ref, out_ref, buf_a, buf_b, *, S, Sp,
 
         jax.lax.fori_loop(0, S // rb, body, 0)
 
-    zeros = jnp.zeros((3, S, Sp), jnp.float32)
-    buf_a[:] = zeros
+    if ablate == "empty":  # timing-only: DMA + cast + normalize floor
+        x = img_ref[:].astype(jnp.int32).astype(jnp.float32)
+        for c in range(3):
+            m = float(mean[c]) * 255.0
+            sd = float(std[c]) * 255.0
+            out_ref[c, :, :] = (x[c] - m) / sd
+        return
+    if ablate != "nozero":  # timing-only: skip the full-buffer inits
+        zeros = jnp.zeros((3, S, Sp), jnp.float32)
+        buf_a[:] = zeros
+        buf_b[:] = zeros
     # Mosaic has no direct u8->f32 cast; hop through int32
     buf_a[:, :, 128 : 128 + S] = img_ref[:].astype(jnp.int32).astype(
         jnp.float32)
-    buf_b[:] = zeros
     shift_pass(buf_a, buf_b, 0)  # horizontal shear 1
     # transpose in VMEM for the vertical shear
-    buf_a[:, :, 128 : 128 + S] = jnp.swapaxes(
-        buf_b[:, :, 128 : 128 + S], 1, 2)
+    if ablate == "notranspose":  # timing-only: straight copy instead
+        buf_a[:, :, 128 : 128 + S] = buf_b[:, :, 128 : 128 + S]
+    else:
+        buf_a[:, :, 128 : 128 + S] = jnp.swapaxes(
+            buf_b[:, :, 128 : 128 + S], 1, 2)
     shift_pass(buf_a, buf_b, 1)  # vertical shear (as rows of the transpose)
-    buf_a[:, :, 128 : 128 + S] = jnp.swapaxes(
-        buf_b[:, :, 128 : 128 + S], 1, 2)
+    if ablate == "notranspose":
+        buf_a[:, :, 128 : 128 + S] = buf_b[:, :, 128 : 128 + S]
+    else:
+        buf_a[:, :, 128 : 128 + S] = jnp.swapaxes(
+            buf_b[:, :, 128 : 128 + S], 1, 2)
     shift_pass(buf_a, None, 2, normalize_out=True)  # shear 3 + normalize
 
 
@@ -324,7 +350,7 @@ def fused_warp_normalize(img_u8_planar, params, mean, std,
     Sp = ((S + 160 + 127) // 128) * 128  # 128 left margin + ≥32 right slack
     kernel = functools.partial(_fused_warp_kernel, S=S, Sp=Sp,
                                mean=tuple(mean), std=tuple(std), taps=taps,
-                               rb=rb)
+                               rb=rb, ablate=_ABLATE)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, S, S), jnp.float32),
