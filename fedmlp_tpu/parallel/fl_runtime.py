@@ -26,6 +26,7 @@ Parity notes vs the reference:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from functools import partial
 from typing import Any, Callable
@@ -41,6 +42,8 @@ from fedmlp_tpu.data.masking import (
     observed_targets,
 )
 from fedmlp_tpu.ops import augment as A
+
+log = logging.getLogger("fedmlp_tpu")
 
 
 # ----------------------------------------------------------------------
@@ -205,6 +208,44 @@ def broadcast_to_clients(tree, n_clients: int):
 
 def tree_index(tree, i):
     return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+# ----------------------------------------------------------------------
+# Client-axis padding: shard K clients over S shards when S ∤ K
+# ----------------------------------------------------------------------
+
+def padded_client_count(K: int, n_shards: int) -> int:
+    """Smallest client count ≥ K divisible by the shard count."""
+    return ((K + n_shards - 1) // n_shards) * n_shards
+
+
+def _pad_clients_tree(tree, pad: int, axis: int = 0, zero: bool = False):
+    """Pad every leaf's client axis with ``pad`` edge-replicated entries
+    (``zero=True`` pads with zeros — used for validity masks, making the
+    padded clients all-invalid). Edge replication keeps the padded rows'
+    math finite (real weights, real pixels); with pos_valid=0 every padded
+    step is a no-op under the engines' where(has_any) masking and the
+    padded rows are sliced away afterwards (_slice_clients_tree)."""
+    if pad == 0:
+        return tree
+
+    def p(x):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths, mode="constant" if zero else "edge")
+
+    return jax.tree_util.tree_map(p, tree)
+
+
+def _slice_clients_tree(tree, K: int, axis: int = 0):
+    """Inverse of _pad_clients_tree: drop the padded client rows."""
+
+    def s(x):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, K)
+        return x[tuple(idx)]
+
+    return jax.tree_util.tree_map(s, tree)
 
 
 # ----------------------------------------------------------------------
@@ -425,12 +466,27 @@ def make_local_round(
                 lambda a: jax.lax.psum(a, data_axis), aux
             )
         updates, new_opt = tx.update(grads, opt_k, params)
-        # a step with zero valid samples must not move this client
+        # a step with zero valid samples must be a TRUE no-op for this
+        # client: params, BN running stats AND optimizer state all hold —
+        # the reference's smaller clients simply run fewer steps
+        # (reference: utils/local_training.py:920-923), so Adam moments
+        # must not decay and its count must not increment on padding
+        # steps. where() (not update*0) also keeps padded-out clients
+        # NaN-safe under client-axis padding (see _pad_client_args).
         has_any = (svalid.sum() > 0).astype(jnp.float32)
         if data_axis is not None:
             has_any = jax.lax.pmax(has_any, data_axis)
-        updates = jax.tree_util.tree_map(lambda u: u * has_any, updates)
-        new_params = optax.apply_updates(params, updates)
+
+        def keep(new, old):
+            return jnp.where(has_any > 0, new, old)
+
+        new_opt = jax.tree_util.tree_map(keep, new_opt, opt_k)
+        new_rest = jax.tree_util.tree_map(keep, new_rest, rest)
+        new_params = jax.tree_util.tree_map(
+            keep, optax.apply_updates(params, updates), params)
+        # padding steps contribute nothing to the round's aux sums either
+        aux = jax.tree_util.tree_map(
+            lambda a: jnp.where(has_any > 0, a, jnp.zeros_like(a)), aux)
         new_vars = dict(new_rest)
         new_vars["params"] = new_params
 
@@ -572,9 +628,21 @@ def make_local_round(
         use_shard_map = (
             mesh is not None
             and (n_cl_shards > 1 or n_dp_shards > 1)
-            and K % n_cl_shards == 0
             and pos.shape[2] % n_dp_shards == 0
         )
+        # non-divisible client counts shard via padding: no-op dummy
+        # clients (valid=0 everywhere) fill the last shard and their rows
+        # are sliced away below (SURVEY §2.9 — the client axis must not
+        # silently evaporate at e.g. K=20 on an 8-device mesh)
+        cl_pad = (
+            padded_client_count(K, n_cl_shards) - K if use_shard_map else 0
+        )
+        if cl_pad:
+            log.warning(
+                "client axis padded %d -> %d to shard over %d devices "
+                "(%d no-op dummy clients)",
+                K, K + cl_pad, n_cl_shards, cl_pad,
+            )
         data_axis = "data" if (use_shard_map and n_dp_shards > 1) else None
         if data_axis is not None and post_step is not None:
             raise NotImplementedError(
@@ -603,6 +671,13 @@ def make_local_round(
         stacked_args = (stacked_vars, teacher, cstate, opt, imgs_km,
                         sample_km, pos_km, valid_km, ctx, keys, it0, loss0,
                         cnt0)
+        if cl_pad:
+            # every arg here is client-major; valid_km pads with zeros so
+            # the dummy clients never take a real step
+            stacked_args = tuple(
+                _pad_clients_tree(a, cl_pad, zero=(i == 7))
+                for i, a in enumerate(stacked_args)
+            )
 
         if use_shard_map:
             # each device loops over its LOCAL clients; lax.map over a
@@ -644,8 +719,11 @@ def make_local_round(
                 map_clients, mesh=mesh, in_specs=(spec,),
                 out_specs=out_spec, check_rep=False,
             )
+            outs = mapped(stacked_args)
+            if cl_pad:
+                outs = _slice_clients_tree(outs, K)
             svars, stea, scst, sopt, skeys, sit, sloss, scnt, mean_loss, \
-                aux_sum = mapped(stacked_args)
+                aux_sum = outs
         else:
             svars, stea, scst, sopt, skeys, sit, sloss, scnt, mean_loss, \
                 aux_sum = map_clients(stacked_args)
@@ -766,7 +844,11 @@ def make_stacked_local_round(
         svars = state["vars"]
         ctx = data["ctx"]
         global_vars = data["global_vars"]
-        opt0 = tx.init(svars["params"])
+        # per-client optimizer state (vmapped init/update): Adam is pure
+        # elementwise math so this is bitwise-identical to a shared-tree
+        # update for clients that run every step, but it gives each client
+        # its own step count so padding steps can hold its state exactly
+        opt0 = jax.vmap(tx.init)(svars["params"])
 
         imgs_all = plan["images"]
         n_views = 1 if view_mode == "single" else 2
@@ -813,15 +895,20 @@ def make_stacked_local_round(
 
             (_, (new_rest, loss_k)), grads = jax.value_and_grad(
                 lf, has_aux=True)(params)
-            updates, new_opt = tx.update(grads, opt, params)
+            updates, new_opt = jax.vmap(tx.update)(grads, opt, params)
             has_any = (svalid.sum(1) > 0).astype(jnp.float32)  # [K]
 
-            def mask(u):
-                return u * has_any.reshape((K,) + (1,) * (u.ndim - 1)).astype(
-                    u.dtype)
+            # zero-valid (padding) steps are TRUE no-ops per client: params,
+            # BN stats and Adam state all hold (reference clients just run
+            # fewer steps, utils/local_training.py:920-923)
+            def keep(new, old):
+                m = has_any.reshape((K,) + (1,) * (new.ndim - 1))
+                return jnp.where(m > 0, new, old)
 
-            updates = jax.tree_util.tree_map(mask, updates)
-            new_params = optax.apply_updates(params, updates)
+            new_opt = jax.tree_util.tree_map(keep, new_opt, opt)
+            new_rest = jax.tree_util.tree_map(keep, new_rest, rest)
+            new_params = jax.tree_util.tree_map(
+                keep, optax.apply_updates(params, updates), params)
             new_vars = dict(new_rest)
             new_vars["params"] = new_params
             return (new_vars, new_opt, key, loss_sum + loss_k * has_any,
@@ -962,9 +1049,20 @@ def make_lockstep_local_round(
 
         n_cl_shards = mesh.shape["client"] if mesh is not None else 1
         use_shard_map = (
-            mesh is not None and n_cl_shards > 1 and K % n_cl_shards == 0
+            mesh is not None and n_cl_shards > 1
             and mesh.shape.get("data", 1) == 1
         )
+        # non-divisible K shards via no-op dummy-client padding (valid=0
+        # rows, sliced away after the round) — see make_local_round
+        cl_pad = (
+            padded_client_count(K, n_cl_shards) - K if use_shard_map else 0
+        )
+        if cl_pad:
+            log.warning(
+                "client axis padded %d -> %d to shard over %d devices "
+                "(%d no-op dummy clients)",
+                K, K + cl_pad, n_cl_shards, cl_pad,
+            )
 
         if carry_mode:
             opt0, keys0 = state["opt"], state["keys"]
@@ -1083,14 +1181,20 @@ def make_lockstep_local_round(
                     grads, new_rest, loss = mapped
                 has_any = (valid_s.sum(1) > 0).astype(jnp.float32)  # [Kl]
                 params_s = vars_s["params"]
-                updates, opt_s = jax.vmap(tx.update)(grads, opt_s, params_s)
+                updates, new_opt = jax.vmap(tx.update)(grads, opt_s, params_s)
 
-                def mask(u):
-                    return u * has_any.reshape(
-                        (Kl,) + (1,) * (u.ndim - 1)).astype(u.dtype)
+                # zero-valid (padding) steps are TRUE no-ops per client:
+                # params, BN stats and Adam state all hold (reference
+                # clients just run fewer steps, local_training.py:920-923)
+                def keep(new, old):
+                    m = has_any.reshape((Kl,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m > 0, new, old)
 
-                updates = jax.tree_util.tree_map(mask, updates)
-                new_params = optax.apply_updates(params_s, updates)
+                opt_s = jax.tree_util.tree_map(keep, new_opt, opt_s)
+                rest_old = {k: v for k, v in vars_s.items() if k != "params"}
+                new_rest = jax.tree_util.tree_map(keep, new_rest, rest_old)
+                new_params = jax.tree_util.tree_map(
+                    keep, optax.apply_updates(params_s, updates), params_s)
                 vars_s = dict(new_rest)
                 vars_s["params"] = new_params
                 return (vars_s, opt_s, keys_next, it + 1.0,
@@ -1105,6 +1209,15 @@ def make_lockstep_local_round(
 
         args = (svars, imgs_all, plan["sample"], pos, pos_valid, ctx,
                 opt0, keys0, it0, loss0, cnt0)
+        if cl_pad:
+            # args 1-4 are step-major [S, K, ...] (client axis 1); the rest
+            # are client-major; pos_valid (index 4) pads with zeros so the
+            # dummy clients never take a real step
+            args = tuple(
+                _pad_clients_tree(a, cl_pad, axis=1 if 1 <= i <= 4 else 0,
+                                  zero=(i == 4))
+                for i, a in enumerate(args)
+            )
         if use_shard_map:
             # every argument (including the carry) is client-major, so the
             # windowed-stream carry threads through shard_map unchanged —
@@ -1123,10 +1236,13 @@ def make_lockstep_local_round(
                     P("client"))
             out_spec = (cl(svars), P("client"), cl(opt0), P("client"),
                         P("client"), P("client"), P("client"))
-            svars, mean_loss, opt, keys, it, loss_sum, cnt = shard_map(
+            outs = shard_map(
                 scan_round, mesh=mesh, in_specs=spec, out_specs=out_spec,
                 check_rep=False,
             )(*args)
+            if cl_pad:
+                outs = _slice_clients_tree(outs, K)
+            svars, mean_loss, opt, keys, it, loss_sum, cnt = outs
         else:
             svars, mean_loss, opt, keys, it, loss_sum, cnt = scan_round(*args)
         if carry_mode:
@@ -1269,12 +1385,20 @@ def make_harvest_fn(model, mean, std, batch_size: int,
         nb = (M + batch_size - 1) // batch_size
         use_mesh = (
             mesh is not None and mesh.shape.get("client", 1) > 1
-            and K % mesh.shape["client"] == 0
         )
         if images is not None:
             chunks = gather_chunks(images, idx)
-            fwd_fn = forward_chunks_sharded if use_mesh else forward_chunks
-            feats, probs = fwd_fn(stacked_vars, chunks, key)
+            if use_mesh and K % mesh.shape["client"]:
+                # pad the client axis with edge rows so the extraction
+                # sweep shards at non-divisible K; padded rows sliced away
+                pad = padded_client_count(K, mesh.shape["client"]) - K
+                feats, probs = forward_chunks_sharded(
+                    _pad_clients_tree(stacked_vars, pad),
+                    _pad_clients_tree(chunks, pad), key)
+                feats, probs = feats[:K], probs[:K]
+            else:
+                fwd_fn = forward_chunks_sharded if use_mesh else forward_chunks
+                feats, probs = fwd_fn(stacked_vars, chunks, key)
         else:
             assert loader is not None, "host-stream harvest needs a loader"
             idx_np = np.asarray(idx)

@@ -53,6 +53,7 @@ class Trainer:
 
     def __post_init__(self):
         cfg = self.cfg
+        self._validate_cfg(cfg)
         self.rng = np.random.RandomState(cfg.seed)
         _t0 = time.time()
         _timing = os.environ.get("FEDMLP_TPU_TIMING")
@@ -291,6 +292,36 @@ class Trainer:
         _tick("runtime setup")
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _validate_cfg(cfg: Config) -> None:
+        """Reject engine-capability edges up front with a typed error
+        instead of a mid-round assert (VERDICT round-4 item 7)."""
+        dp = max(1, cfg.mesh.data_axis)
+        if dp > 1:
+            algo = algo_registry.get_algorithm(cfg.algorithm)
+            if getattr(algo, "post_step", None) is not None:
+                raise ValueError(
+                    f"algorithm {cfg.algorithm!r} keeps per-client state "
+                    "(post_step hook) which cannot shard over the 'data' "
+                    "mesh axis (cstate would diverge across data shards); "
+                    "set mesh.data_axis=1"
+                )
+            if cfg.batched_global == "on":
+                raise ValueError(
+                    "batched_global='on' (lockstep engine) requires "
+                    "mesh.data_axis=1 — the lockstep loop order has no "
+                    "per-client data-parallel path; set mesh.data_axis=1 "
+                    "or batched_global='auto'/'off'"
+                )
+        if cfg.data.host_stream and cfg.client_stacking == "on":
+            raise ValueError(
+                "client_stacking='on' does not compose with "
+                "data.host_stream — the stacked engine has no windowed "
+                "carry; use the lockstep engine (batched_global) for "
+                "streamed datasets"
+            )
+
+    # ------------------------------------------------------------------
     def _use_stacked(self) -> bool:
         """Channel-stacked lockstep clients (models/stacked.py): 'auto'
         currently resolves OFF — the mapped engine measured faster
@@ -508,6 +539,9 @@ class Trainer:
     def round_mesh(self):
         """Mesh for shard_map'd parallelism: client axis splits the client
         population; the optional data axis splits each client's batch.
+        Non-divisible client counts shard via no-op dummy-client padding
+        inside the engines (fl_runtime._pad_clients_tree — K=20 on an
+        8-device mesh runs as 24 padded clients, 3 per device).
         None → single-shard lax.map."""
         m = self.mesh
         if m is None:
@@ -515,7 +549,6 @@ class Trainer:
         cl = m.shape["client"]
         dp = m.shape.get("data", 1)
         if ((cl > 1 or dp > 1)
-                and self.n_clients % cl == 0
                 and self.cfg.batch_size % dp == 0):
             return m
         return None

@@ -69,9 +69,30 @@ def test_non_iid_partition_end_to_end():
     assert np.isfinite(rec.client_losses).all()
 
 
+def test_10_clients_sharded_over_8_devices_padded():
+    """Non-divisible client counts shard via no-op dummy-client padding
+    (fl_runtime._pad_clients_tree): padded-sharded == unsharded."""
+    import jax
+
+    assert jax.device_count() == 8
+    t_pad = Trainer(cfg_for(10, n=320))
+    assert t_pad.round_mesh is not None, "padded shard path must be active"
+    assert t_pad.mesh.shape["client"] == 8
+    t_plain = Trainer(cfg_for(10, n=320), use_mesh=False)
+    rec_s = t_pad.run_round(0)
+    rec_p = t_plain.run_round(0)
+    np.testing.assert_allclose(
+        rec_s.client_losses, rec_p.client_losses, rtol=1e-4, atol=1e-5)
+    import jax as _jax
+    for a, b in zip(_jax.tree_util.tree_leaves(t_pad.global_vars["params"]),
+                    _jax.tree_util.tree_leaves(t_plain.global_vars["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_20_client_fedmlp_scaled():
-    # BASELINE configs[4]: 20 heterogeneous clients; 20 % 8 != 0 so the
-    # stacked state stays unsharded but the SPMD program still runs
+    # BASELINE configs[4]: 20 heterogeneous clients on the 8-device mesh —
+    # shards as 24 padded clients (3 per device) since round 5
     cfg = cfg_for(
         20, n=400, algo="fedmlp",
         fedmlp=FedMLPConfig(rounds_stage1=1, clean_threshold=0.2,
