@@ -281,8 +281,16 @@ LossFn = Callable[..., tuple[jnp.ndarray, tuple]]
 
 
 
+# weak+strong programs above this K·B scale route 'auto' to the 'gather'
+# weak backend on TPU (see resolve_augment_backend below). 640 = the
+# crashing K=20·B=32 config; 128 = the K=4 config that has never crashed.
+STRONG_SCALE_THRESHOLD = int(
+    os.environ.get("FEDMLP_STRONG_SCALE_THRESHOLD", "256"))
+
+
 def resolve_augment_backend(augment_backend: str, view_mode: str = "single",
-                            platform: str | None = None):
+                            platform: str | None = None,
+                            scale: int | None = None):
     """Resolve 'auto' to a concrete weak-augment backend.
 
     TPU: the fused v3/v4 block-parallel warp kernel (one dynamic roll per
@@ -296,13 +304,22 @@ def resolve_augment_backend(augment_backend: str, view_mode: str = "single",
     crashed the TPU worker at scale (K=20 B=32 224px, UNAVAILABLE
     kernel fault) — twice with the fused kernel (round 3; round-4
     ladder rung 5 at 4 steps/round) and once with the v1 'pallas'
-    pipeline (round-4 re-measure, same config). The fault is FLAKY
-    (the identical config also passes; see BENCH_NOTES "Round-4:
-    BASELINE ladder") and follows the weak+strong program, not the
-    weak backend — a libtpu-level fault we cannot patch. 'auto'
-    selects 'pallas' for weak+strong programs (fewest observed
-    crashes; regression: tests/test_augment.py::
-    test_auto_backend_weak_strong_fallback) and long runs should use
+    pipeline (round-4 re-measure, 5/5 deterministic in that session).
+    The fault is FLAKY across sessions (the identical config also
+    passes; see BENCH_NOTES "Round-4: BASELINE ladder") and follows the
+    weak+strong program, not the weak backend — a libtpu-level fault we
+    cannot patch. 'auto' therefore resolves per scale:
+
+      * K·B < STRONG_SCALE_THRESHOLD (e.g. K=4 B=32, never crashed):
+        'pallas' (fewest observed crashes among the fast kernels);
+      * K·B ≥ threshold (``scale`` given by the Trainer): 'gather' —
+        the only weak backend that has PASSED the K=20 crash config
+        (round-3 probe matrix, fixmatch_k20_gather). ~5x slower weak
+        warp, but a slower number beats a crash record (VERDICT r4
+        item 4).
+
+    Regression: tests/test_augment.py::
+    test_auto_backend_weak_strong_fallback. Long runs should still use
     the retry-on-UNAVAILABLE runner (tools/resilient_run.py).
     """
     if augment_backend != "auto":
@@ -311,7 +328,29 @@ def resolve_augment_backend(augment_backend: str, view_mode: str = "single",
         platform = jax.devices()[0].platform
     if platform != "tpu":
         return "gather"
-    return "pallas" if view_mode == "weak_strong" else "fused"
+    if view_mode == "weak_strong":
+        if scale is not None and scale >= STRONG_SCALE_THRESHOLD:
+            log.warning(
+                "weak_strong program at scale K*B=%d >= %d: selecting the "
+                "'gather' weak backend (the only one that passed the "
+                "fixmatch-at-scale TPU crash config)",
+                scale, STRONG_SCALE_THRESHOLD,
+            )
+            return "gather"
+        return "pallas"
+    return "fused"
+
+
+def _pick_strong_backend(augment_backend: str):
+    """Strong-view (RandAugmentMC) pipeline; under the 'normonly'
+    diagnostic backend BOTH views are normalize-only so perf probes and
+    the head-to-head parity driver (tools/ref_parity — identity views on
+    the torch side) compare like for like."""
+    if augment_backend == "normonly":
+        def strong(imgs, key, mean_, std_, keys=None):
+            return A.eval_batch(imgs, mean_, std_)
+        return strong
+    return A.strong_augment_batch
 
 
 def _pick_weak_backend(augment_backend: str):
@@ -363,6 +402,7 @@ def make_local_round(
     donate: bool = True,
     mesh=None,  # Mesh with a 'client' axis: shard_map clients across devices
     augment_backend: str = "auto",  # 'auto'|'gather'|'paeth'|'pallas'|'normonly'
+    augment_scale: int | None = None,  # K*B hint for the weak_strong fallback
     scan_unroll: int = 1,  # lax.scan unroll factor for the local-step loop
     weight_stream_dtype=None,  # cast f32 params once per step for compute
     hoist_augment: bool = False,  # batch the round's augmentation pre-scan
@@ -400,8 +440,10 @@ def make_local_round(
     tx = torch_adam(lr, weight_decay)
     has_teacher = teacher_decay is not None
 
-    augment_backend = resolve_augment_backend(augment_backend, view_mode)
+    augment_backend = resolve_augment_backend(augment_backend, view_mode,
+                                              scale=augment_scale)
     weak = _pick_weak_backend(augment_backend)
+    strong = _pick_strong_backend(augment_backend)
 
     def augment_views(imgs_u8, key):
         if view_mode == "single":
@@ -412,7 +454,7 @@ def make_local_round(
         if view_mode == "dual":
             x2 = weak(imgs_u8, k2, mean, std)
         else:
-            x2 = A.strong_augment_batch(imgs_u8, k2, mean, std)
+            x2 = strong(imgs_u8, k2, mean, std)
         return {"x1": x1, "x2": x2}
 
     def client_step(vars_k, opt_k, teacher_k, cstate_k, imgs_u8, sample,
@@ -785,6 +827,7 @@ def make_stacked_local_round(
     weight_decay: float = 5e-4,
     donate: bool = True,
     augment_backend: str = "auto",
+    augment_scale: int | None = None,
     scan_unroll: int = 1,
     hoist_augment: bool = False,
 ):
@@ -801,8 +844,10 @@ def make_stacked_local_round(
     cannot express."""
     tx = torch_adam(lr, weight_decay)
 
-    augment_backend = resolve_augment_backend(augment_backend, view_mode)
+    augment_backend = resolve_augment_backend(augment_backend, view_mode,
+                                              scale=augment_scale)
     weak = _pick_weak_backend(augment_backend)
+    strong = _pick_strong_backend(augment_backend)
 
     def augment_views(imgs_u8, key):
         # one augmentation call over all K·B images
@@ -820,7 +865,7 @@ def make_stacked_local_round(
         if view_mode == "dual":
             x2 = reshape(weak(flat, k2, mean, std))
         else:
-            x2 = reshape(A.strong_augment_batch(flat, k2, mean, std))
+            x2 = reshape(strong(flat, k2, mean, std))
         return {"x1": x1, "x2": x2}
 
     def global_logits(global_vars, views):
@@ -868,7 +913,7 @@ def make_stacked_local_round(
                 k1, k2 = jax.random.split(kh)
                 x1 = weak(flat, k1, mean, std)
                 x2 = (weak(flat, k2, mean, std) if view_mode == "dual"
-                      else A.strong_augment_batch(flat, k2, mean, std))
+                      else strong(flat, k2, mean, std))
                 vf = {"x1": x1, "x2": x2}
             imgs_all = {
                 k: v.reshape((S_, K_, B_) + v.shape[1:])
@@ -956,6 +1001,7 @@ def make_lockstep_local_round(
     donate: bool = True,
     mesh=None,  # Mesh with a 'client' axis (data axis must be 1)
     augment_backend: str = "auto",
+    augment_scale: int | None = None,
     scan_unroll: int = 1,
     client_unroll: bool = False,
     view_precat: bool = False,
@@ -994,8 +1040,10 @@ def make_lockstep_local_round(
     (tests/test_lockstep_round.py::test_small_pack_bitwise)."""
     tx = torch_adam(lr, weight_decay)
 
-    augment_backend = resolve_augment_backend(augment_backend, view_mode)
+    augment_backend = resolve_augment_backend(augment_backend, view_mode,
+                                              scale=augment_scale)
     weak = _pick_weak_backend(augment_backend)
+    strong = _pick_strong_backend(augment_backend)
 
     def _per_image_keys(ka_s, view_idx, n_per, B):
         """Shard-invariant per-image augmentation keys: client k's view-v
@@ -1022,7 +1070,7 @@ def make_lockstep_local_round(
             x2 = weak(flat_u8, dummy, mean, std, keys=k2)
         else:
             k2 = _per_image_keys(ka_s, 1, 3, B)
-            x2 = A.strong_augment_batch(flat_u8, dummy, mean, std, keys=k2)
+            x2 = strong(flat_u8, dummy, mean, std, keys=k2)
         return {"x1": x1, "x2": x2}
 
     _CARRY_KEYS = {"vars", "opt", "keys", "it", "loss_sum", "cnt"}

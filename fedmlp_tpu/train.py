@@ -230,6 +230,7 @@ class Trainer:
                 needs_global=self.algo.NEEDS_GLOBAL,
                 donate=True,
                 augment_backend=cfg.data.augment_backend,
+                augment_scale=self.n_clients * cfg.batch_size,
                 scan_unroll=cfg.scan_unroll,
                 hoist_augment=bool(cfg.hoist_augment),
             )
@@ -247,6 +248,7 @@ class Trainer:
                 donate=True,
                 mesh=self.round_mesh,
                 augment_backend=cfg.data.augment_backend,
+                augment_scale=self.n_clients * cfg.batch_size,
                 scan_unroll=cfg.scan_unroll,
                 client_unroll=bool(cfg.client_unroll),
                 view_precat=use_precat,
@@ -267,6 +269,7 @@ class Trainer:
                 donate=True,
                 mesh=self.round_mesh,
                 augment_backend=cfg.data.augment_backend,
+                augment_scale=self.n_clients * cfg.batch_size,
                 scan_unroll=cfg.scan_unroll,
                 hoist_augment=bool(cfg.hoist_augment),
                 weight_stream_dtype=self.weight_stream_dtype,

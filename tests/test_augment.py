@@ -106,3 +106,15 @@ def test_auto_backend_weak_strong_fallback():
     assert resolve_augment_backend("auto", "weak_strong", "cpu") == "gather"
     # explicit backends are never overridden
     assert resolve_augment_backend("fused", "weak_strong", "tpu") == "fused"
+    # second-level fallback (VERDICT r4 item 4): at scale (K·B >= the
+    # threshold, e.g. the crashing K=20 B=32 config) 'auto' routes
+    # weak_strong to 'gather' — the only weak backend that PASSED the
+    # fixmatch-at-scale crash config (round-3 probe matrix)
+    assert resolve_augment_backend(
+        "auto", "weak_strong", "tpu", scale=640) == "gather"
+    assert resolve_augment_backend(
+        "auto", "weak_strong", "tpu", scale=128) == "pallas"
+    assert resolve_augment_backend(
+        "auto", "dual", "tpu", scale=640) == "fused"  # no strong view
+    assert resolve_augment_backend(
+        "auto", "weak_strong", "cpu", scale=640) == "gather"

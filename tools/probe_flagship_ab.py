@@ -59,6 +59,26 @@ VARIANTS = {
     # the ~15.6 ms/step of tiny per-client copy-done DMA latency
     "smallpack": {"small_pack": 4096},
     "smallpack16k": {"small_pack": 16384},
+    # round-5 compiler-option sweep (VERDICT item 2): the conv fusions
+    # average 426 GB/s while the chip sustains 750-800 — scheduler/VMEM
+    # flags are the remaining non-shape levers
+    "lhs": {"_env": {"FEDMLP_COMPILER_OPTIONS":
+                     "xla_tpu_enable_latency_hiding_scheduler=true"}},
+    "vmem32": {"_env": {"FEDMLP_COMPILER_OPTIONS":
+                        "xla_tpu_scoped_vmem_limit_kib=32768"}},
+    "vmem96": {"_env": {"FEDMLP_COMPILER_OPTIONS":
+                        "xla_tpu_scoped_vmem_limit_kib=98304"}},
+    "vmem128": {"_env": {"FEDMLP_COMPILER_OPTIONS":
+                         "xla_tpu_scoped_vmem_limit_kib=131072"}},
+    # (xla_tpu_memory_limit_slop_factor: REJECTED by this slice's remote
+    # compiler — HTTP 500 at compile; not a usable knob here)
+    "lhs_vmem96": {"_env": {"FEDMLP_COMPILER_OPTIONS":
+                            "xla_tpu_enable_latency_hiding_scheduler=true,"
+                            "xla_tpu_scoped_vmem_limit_kib=98304"}},
+    # augmentation ablation: bounds the warp's CRITICAL-PATH share (trace
+    # time != wall time — see the small_pack lesson); normonly now also
+    # ablates the strong pipeline for weak_strong programs
+    "normonly": {"_backend": "normonly"},
 }
 
 
@@ -83,6 +103,7 @@ def main():
     def mk(opts):
         opts = dict(opts)
         legacy = opts.pop("_legacy_taps", False)
+        backend = opts.pop("_backend", "auto")
         rb = opts.pop("_rb", None)
         env = opts.pop("_env", {})
         saved = {k: os.environ.get(k) for k in env}
@@ -94,7 +115,8 @@ def main():
             p_pos=0.0,
             fedmlp=FedMLPConfig(rounds_stage1=10_000),  # stage 1 forever
             data=DataConfig(name="synthetic", n_classes=8, image_size=224,
-                            synthetic_train_size=N, synthetic_test_size=64),
+                            synthetic_train_size=N, synthetic_test_size=64,
+                            augment_backend=backend),
             compute_dtype="bfloat16", **opts,
         )
         pallas_warp._FORCE_LEGACY_TAPS = legacy

@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Head-to-head parity: fedmlp_tpu on the shared fixture (see common.py),
-CPU backend, augmentation normonly, initial weights identical to the
-reference run (converted torch init). Writes
-outputs/ref_parity/ours_<exp>.jsonl in the same schema as run_reference.py.
+CPU backend, augmentation normonly (both views identity — the fixture's
+torch side is identity too), initial weights identical to the reference
+run (converted torch init). Writes outputs/ref_parity/ours_<exp>[_sN].jsonl
+in the same schema as run_reference.py.
 
-Usage: python tools/ref_parity/run_ours.py {FedAVG|FedMLP}
+Usage: python tools/ref_parity/run_ours.py
+           {FedAVG|FedMLP|FedNoRo|CBAFed|FedAVG+FixMatch} [--seed N]
+
+``--seed N`` varies only the training-order randomness (batch-plan
+permutations + jax PRNG streams) on the fixed fixture/partition/init —
+the noise floor the cross-framework comparison is judged against.
 """
 
 from __future__ import annotations
@@ -19,10 +25,21 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "..")))
 from tools.ref_parity import common as C
 
+ALGO = {
+    "FedAVG": "fedavg",
+    "FedMLP": "fedmlp",
+    "FedNoRo": "fednoro",
+    "CBAFed": "cbafed",
+    "FedAVG+FixMatch": "fixmatch",
+}
+
 
 def main():
     exp = sys.argv[1] if len(sys.argv) > 1 else "FedMLP"
-    assert exp in ("FedAVG", "FedMLP")
+    assert exp in ALGO
+    seed_off = 0
+    if "--seed" in sys.argv:
+        seed_off = int(sys.argv[sys.argv.index("--seed") + 1])
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -34,10 +51,10 @@ def main():
     _pt, npz = C.ensure_init()
 
     cfg = Config(
-        algorithm="fedavg" if exp == "FedAVG" else "fedmlp",
+        algorithm=ALGO[exp],
         model="resnet18", batch_size=C.BATCH, base_lr=C.BASE_LR,
         n_clients=C.N_CLIENTS, local_ep=C.LOCAL_EP, rounds_warmup=C.ROUNDS,
-        eval_every=C.EVAL_EVERY, seed=C.SEED, p_pos=0.0,
+        eval_every=C.EVAL_EVERY, seed=C.SEED + seed_off, p_pos=0.0,
         fedmlp=FedMLPConfig(rounds_stage1=C.STAGE1, clean_threshold=0.05,
                             noise_threshold=0.1),
         data=DataConfig(name="synthetic", n_classes=C.N_CLASSES,
@@ -65,7 +82,8 @@ def main():
               f"loss={np.mean(out['losses']):.4f}", flush=True)
 
     os.makedirs(C.OUT, exist_ok=True)
-    C.write_jsonl(os.path.join(C.OUT, f"ours_{exp}.jsonl"), records)
+    suffix = f"_s{seed_off}" if seed_off else ""
+    C.write_jsonl(os.path.join(C.OUT, f"ours_{exp}{suffix}.jsonl"), records)
 
 
 if __name__ == "__main__":

@@ -22,8 +22,17 @@ quirks or environment shims — SURVEY.md §0):
   * CUDA: .cuda()/torch.cuda.FloatTensor patched to CPU no-ops;
   * DataLoader workers forced to 0 (single-core host).
 
-Usage: python tools/ref_parity/run_reference.py {FedAVG|FedMLP}
-Writes outputs/ref_parity/reference_<exp>.jsonl
+Usage: python tools/ref_parity/run_reference.py
+           {FedAVG|FedMLP|FedNoRo|CBAFed|FedAVG+FixMatch} [--seed N]
+Writes outputs/ref_parity/reference_<exp>[_sN].jsonl
+
+Round-5 extensions (VERDICT item 6): FedNoRo / CBAFed / FixMatch run
+their reference trainers verbatim (utils/local_training.py:115-335,
+771-825) inside the warm-phase round loop of main.py:127-289 (CBAFed's
+rnd%5 residual mixing included); ``--seed N`` varies ONLY the training
+order randomness (torch.manual_seed → DataLoader shuffles) on the fixed
+fixture/init so multi-seed runs measure the data-order noise floor the
+cross-framework comparison is judged against.
 """
 
 from __future__ import annotations
@@ -51,6 +60,7 @@ sys.path.insert(0, "/root/reference")
 import utils.local_training as lt  # noqa: E402
 import utils.evaluations as ue  # noqa: E402
 from utils.FedAvg import FedAvg, FedAvg_proto, FedAvg_tao  # noqa: E402
+from utils.FedNoRo import get_current_consistency_weight  # noqa: E402
 
 _TorchLoader = torch.utils.data.DataLoader
 
@@ -102,25 +112,38 @@ def make_args(exp):
         feature_dim=512, device=torch.device("cpu"), deterministic=1,
         clean_threshold=0.05, noise_threshold=0.1, input_channel=3,
         distill=1, gpu="", p_pos_1=0.0,
+        # FedNoRo warm phase (utils/options.py:74-77 defaults)
+        rounds_FedNoRo_warmup=500, begin=10, end=499, a=0.8,
+        # CBAFed warm phase (utils/options.py:79 default)
+        rounds_CBAFed_warmup=50,
     )
     return ns
 
 
+EXPS = ("FedAVG", "FedMLP", "FedNoRo", "CBAFed", "FedAVG+FixMatch")
+
+
 def main():
     exp = sys.argv[1] if len(sys.argv) > 1 else "FedMLP"
-    assert exp in ("FedAVG", "FedMLP")
-    torch.manual_seed(C.SEED)
-    np.random.seed(C.SEED)
+    assert exp in EXPS
+    seed_off = 0
+    if "--seed" in sys.argv:
+        seed_off = int(sys.argv[sys.argv.index("--seed") + 1])
+    # the fixture, partition and init weights stay pinned to C.SEED; the
+    # seed offset varies only the training-order randomness (DataLoader
+    # shuffles) — the noise floor of the cross-framework comparison
+    torch.manual_seed(C.SEED + seed_off)
+    np.random.seed(C.SEED + seed_off)
     import random as _random
 
-    _random.seed(C.SEED)
+    _random.seed(C.SEED + seed_off)
     torch.set_num_threads(1)
 
     args = make_args(exp)
     tr, te, dict_users, hidden = C.fixture()
     pt, _npz = C.ensure_init()
 
-    dual = exp == "FedMLP"
+    dual = exp in ("FedMLP", "FedAVG+FixMatch")
     train_ds = FixtureDataset(tr.images, tr.targets, dual=dual)
     test_ds = FixtureDataset(te.images, te.targets, dual=False)
     test_ds.targets = te.targets  # globaltest reads .targets
@@ -150,14 +173,32 @@ def main():
     Prototype = []
 
     records = []
+    w_glob_res = None  # CBAFed residual state (main.py:278-288)
     for rnd in range(C.ROUNDS):
         t0 = time.time()
         w_locals, loss_locals, taos, Prototypes = [], [], [], []
+        if exp == "FedNoRo":
+            # main.py:127-128 — KD ramp weight per round
+            weight_kd = get_current_consistency_weight(
+                rnd, args.begin, args.end) * args.a
         for i in range(C.N_CLIENTS):
             local = locals_[i]
             if exp == "FedAVG":
                 w, loss, *_rest, neg, act = local.train(
                     rnd, net=deepcopy(netglob), writer1=None)
+            elif exp == "FedNoRo":
+                # warm phase (rnd < rounds_FedNoRo_warmup), main.py:140-145
+                w, loss, _1, _2, neg, act = local.train_FedNoRo(
+                    i, rnd, net=deepcopy(netglob), writer1=None,
+                    weight_kd=weight_kd)
+            elif exp == "CBAFed":
+                # warm phase, main.py:149-155 (class_num/data_num harvests
+                # only matter post-warmup)
+                w, loss, _1, _2, neg, act, _cnl, _dn = local.train_CBAFed(
+                    rnd, net=deepcopy(netglob))
+            elif exp == "FedAVG+FixMatch":
+                w, loss, _1, _2, neg, act = local.train_FixMatch(
+                    rnd, net=deepcopy(netglob))
             else:
                 # reference main.py:180-183 — round 0 passes None for
                 # both lists; later rounds index the round-0 harvests
@@ -186,7 +227,13 @@ def main():
                     [j for j in range(C.N_CLIENTS)
                      if c in negetive_class_list[j]])
         w_glob = FedAvg(w_locals, dict_len)
+        if exp == "CBAFed" and rnd % 5 == 0 and rnd > 0:
+            # warm-phase residual mixing every 5th round (main.py:278-288)
+            for k in w_glob.keys():
+                w_glob[k] = 0.2 * w_glob[k] + 0.8 * w_glob_res[k]
         netglob.load_state_dict(deepcopy(w_glob))
+        if exp == "CBAFed" and rnd % 5 == 0:
+            w_glob_res = deepcopy(w_glob)
         if exp == "FedMLP" and rnd >= C.STAGE1 - 1:
             tao = FedAvg_tao(taos, dict_len, class_negative_client_list)
             Prototype = FedAvg_proto(Prototypes, dict_len,
@@ -202,7 +249,9 @@ def main():
               f"loss={np.mean(loss_locals):.4f}", flush=True)
 
     os.makedirs(C.OUT, exist_ok=True)
-    C.write_jsonl(os.path.join(C.OUT, f"reference_{exp}.jsonl"), records)
+    suffix = f"_s{seed_off}" if seed_off else ""
+    C.write_jsonl(
+        os.path.join(C.OUT, f"reference_{exp}{suffix}.jsonl"), records)
 
 
 if __name__ == "__main__":
