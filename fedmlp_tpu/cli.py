@@ -166,6 +166,11 @@ def args_parser(argv=None):
                    choices=["auto", "on", "off"],
                    help="channel-stacked lockstep clients (models/stacked.py)")
     p.add_argument("--hoist_augment", type=int, default=0)
+    p.add_argument("--pre_augment", type=int, default=-1,
+                   help="compute round views as standalone <chunk>-image "
+                        "programs outside the round program (-1 auto: "
+                        "engage at the weak+strong at-scale TPU crash "
+                        "config; 0 off; >0 forced chunk)")
     p.add_argument("--weight_stream", type=int, default=0)
     p.add_argument("--batched_global", type=str, default="auto",
                    choices=["auto", "on", "off"],
@@ -237,6 +242,7 @@ def config_from_args(a) -> Config:
         view_precat=a.view_precat,
         client_stacking=a.client_stacking,
         hoist_augment=a.hoist_augment,
+        pre_augment=a.pre_augment,
         weight_stream=a.weight_stream,
         batched_global=a.batched_global,
         output_dir=a.output_dir,

@@ -278,6 +278,16 @@ class Config:
     # NEGATIVE on the bench round (2651 avg → 2485 img/s: materializing
     # the f32 views costs more than the in-scan calls save) — default off.
     hoist_augment: int = 0
+    # engine (mapped only): compute the round's views OUTSIDE the round
+    # program as independent `pre_augment`-image jitted chunks and feed the
+    # round pre-augmented dense views (the hoist path's dict form,
+    # bitwise-identical — fl_runtime.pre_augment_views). Crash-dodge for
+    # the weak+strong TPU-worker fault at scale (K·B >= 640): small
+    # standalone augment programs match the never-crashing K=4 scale.
+    # -1 auto (engage chunk=256 exactly at the crash config: weak_strong,
+    # K·B >= STRONG_SCALE_THRESHOLD, TPU, mapped engine, no mesh, no
+    # host_stream) / 0 off / >0 forced chunk size.
+    pre_augment: int = -1
     # engine: when compute_dtype is bfloat16, cast the f32 master weights
     # once per step so conv fusions stream bf16 (not f32) weights to VMEM.
     # Measured NEGATIVE on the bench round (2640 → 2388 img/s: the explicit

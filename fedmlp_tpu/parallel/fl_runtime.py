@@ -28,7 +28,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Callable
 
 import jax
@@ -271,6 +271,72 @@ def gather_round_data(images, idx, sample_arrays, pos):
     imgs = images[gidx]
     sample = {k: v[karange, pos] for k, v in sample_arrays.items()}
     return imgs, sample
+
+
+def pre_augment_views(imgs, key, *, view_mode, augment_backend, mean, std,
+                      chunk=256):
+    """Compute the round's augmented views OUTSIDE the round program, as a
+    sequence of small independent jitted programs of ``chunk`` images each.
+
+    Crash-dodge fallback for the weak+strong (FixMatch/CBAFed-style)
+    TPU-worker fault at scale: the fault follows the fused round program
+    that carries the strong RandAugment pipeline at K·B ≥ 640 (BENCH_NOTES
+    "Round-4/5 BASELINE ladder"; the 'gather' weak backend inside the same
+    big program crashed identically in round 5), while small standalone
+    augmentation programs match the K=4 scale that has never crashed. The
+    round program then consumes pre-augmented dense views — the same dict
+    form the mapped engine's ``hoist_augment`` path produces in-program
+    (make_local_round round_fn), so ``client_step`` needs no changes.
+
+    RNG-identical to ``hoist_augment=1``: the per-image key tables are
+    exactly what the backends would derive internally for the UNCHUNKED
+    call (weak: split(k1, 2N); strong: split(k2, 3N) — ops/augment.py:
+    347-380), so the output is invariant to ``chunk`` BITWISE, and the
+    round trajectory matches the hoist path to f32 roundoff (separate
+    programs fuse the augment math in a different context than the
+    in-round hoist — tests/test_pre_augment.py).
+
+    imgs [S,K,B,H,W,C] uint8 → {"x"|"x1","x2": f32 [S,K,B,H,W,C]}.
+    """
+    S, K, B = imgs.shape[:3]
+    N = S * K * B
+    flat = imgs.reshape((N,) + imgs.shape[3:])
+    kh = jax.random.fold_in(key, 0x9A)  # the hoist path's stream
+    k1, k2 = jax.random.split(kh)
+    pad = (-N) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+
+    mean_t = tuple(float(m) for m in mean)
+    std_t = tuple(float(s) for s in std)
+
+    def run(kind, kfull, n_per):
+        keys_tab = jax.random.split(kfull, n_per * N).reshape(N, n_per, 2)
+        if pad:
+            keys_tab = jnp.concatenate([keys_tab, keys_tab[:pad]], axis=0)
+        cfn = _pre_aug_chunk_fn(augment_backend, kind, mean_t, std_t)
+        parts = [cfn(flat[c:c + chunk], keys_tab[c:c + chunk], kfull)
+                 for c in range(0, N + pad, chunk)]
+        v = jnp.concatenate(parts, axis=0)[:N]
+        return v.reshape((S, K, B) + v.shape[1:])
+
+    if view_mode == "single":
+        return {"x": run("weak", k1, 2)}
+    x1 = run("weak", k1, 2)
+    if view_mode == "dual":
+        x2 = run("weak", k2, 2)
+    else:
+        x2 = run("strong", k2, 3)
+    return {"x1": x1, "x2": x2}
+
+
+@lru_cache(maxsize=None)
+def _pre_aug_chunk_fn(augment_backend, kind, mean_t, std_t):
+    """One jitted chunk program per (backend, view-kind, norm constants) —
+    cached so per-round calls reuse the compiled executable."""
+    fn = (_pick_weak_backend(augment_backend) if kind == "weak"
+          else _pick_strong_backend(augment_backend))
+    return jax.jit(lambda x, ks, k: fn(x, k, mean_t, std_t, keys=ks))
 
 
 # ----------------------------------------------------------------------

@@ -218,6 +218,17 @@ class Trainer:
         # hoist the 2B concat out of the per-client map (lockstep only;
         # only meaningful when the viewcat loss is the active loss)
         use_precat = view_precat == "on" and viewcat_active
+        is_mapped = not (self._use_stacked() or self._use_lockstep())
+        self._pre_augment_chunk = self._resolve_pre_augment(cfg, is_mapped)
+        if self._pre_augment_chunk:
+            self._pre_augment_backend = rt.resolve_augment_backend(
+                cfg.data.augment_backend, self.algo.VIEW_MODE, scale=None)
+            log.warning(
+                "engine: pre-augmenting round views OUTSIDE the round "
+                "program (%d-image chunks, backend=%s) — weak+strong "
+                "at-scale crash dodge (fl_runtime.pre_augment_views)",
+                self._pre_augment_chunk, self._pre_augment_backend,
+            )
         if self._use_stacked():
             self.round_fn = rt.make_stacked_local_round(
                 self.model,
@@ -269,7 +280,10 @@ class Trainer:
                 donate=True,
                 mesh=self.round_mesh,
                 augment_backend=cfg.data.augment_backend,
-                augment_scale=self.n_clients * cfg.batch_size,
+                # pre-augmented rounds never run the in-engine augmentation,
+                # so skip the at-scale 'gather' backend downgrade
+                augment_scale=(None if self._pre_augment_chunk
+                               else self.n_clients * cfg.batch_size),
                 scan_unroll=cfg.scan_unroll,
                 hoist_augment=bool(cfg.hoist_augment),
                 weight_stream_dtype=self.weight_stream_dtype,
@@ -351,6 +365,37 @@ class Trainer:
         # on TPU (first A/B: 2120 vs 2643 img/s — pointwise layout work in
         # progress, see BENCH_NOTES.md)
         return False
+
+    def _resolve_pre_augment(self, cfg: Config, is_mapped: bool) -> int:
+        """Chunk size for out-of-program view computation (0 = off).
+
+        Auto (-1) engages exactly at the weak+strong at-scale TPU crash
+        config; forcing it (>0) on a non-mapped engine is a typed error —
+        the lockstep/stacked engines augment in-step and reject dict
+        views (fl_runtime make_lockstep_local_round round_fn assert)."""
+        if cfg.pre_augment == 0:
+            return 0
+        if cfg.pre_augment > 0:
+            if not is_mapped:
+                raise ValueError(
+                    "pre_augment requires the mapped engine — the "
+                    "lockstep/stacked engines augment in-step "
+                    "(set batched_global/client_stacking off)")
+            if self.host_stream and cfg.data.stream_window:
+                raise ValueError(
+                    "pre_augment does not compose with windowed "
+                    "host-streaming (stream_window)")
+            return cfg.pre_augment
+        engage = (
+            is_mapped
+            and self.algo.VIEW_MODE == "weak_strong"
+            and self.n_clients * cfg.batch_size
+            >= rt.STRONG_SCALE_THRESHOLD
+            and jax.devices()[0].platform == "tpu"
+            and self.round_mesh is None
+            and not self.host_stream
+        )
+        return 256 if engage else 0
 
     def _use_lockstep(self) -> bool:
         """Lockstep loop order (batched frozen-global forwards): 'auto'
@@ -458,6 +503,17 @@ class Trainer:
         else:
             imgs, sample = rt.gather_round_data(
                 self.fd.images, self.fd.idx, sample_arrays, pos_j
+            )
+        if self._pre_augment_chunk:
+            # views computed as standalone small programs; the round
+            # program consumes the hoist-form dict (bitwise-identical to
+            # hoist_augment=1 — tests/test_pre_augment.py)
+            imgs = rt.pre_augment_views(
+                imgs, sub,
+                view_mode=self.algo.VIEW_MODE,
+                augment_backend=self._pre_augment_backend,
+                mean=self.cfg.data.mean, std=self.cfg.data.std,
+                chunk=self._pre_augment_chunk,
             )
         plan = {
             "images": imgs,
