@@ -11,9 +11,11 @@ augmentation fuses with the normalize + model forward under one jit:
   strong view — RandAugmentMC(n=2, m=10) pool of 14 PIL ops + CutoutAbs(16)
                 (utils/FixMatch.py:147-163,205-220)
 
-Geometric ops use inverse-map bilinear warps (MXU-friendly static shapes);
-photometric ops are elementwise VPU work; Equalize/AutoContrast use 256-bin
-histograms computed with one-hot matmuls.
+Geometric ops use inverse-map bilinear warps (static shapes) with an
+optional gather-free Pallas roll-kernel path (``geo='shear'``, the TPU
+default for the strong pipeline); photometric ops are elementwise VPU
+work; Equalize's 256-bin histogram is a fused compare-and-reduce over
+uint8 values (scatter-add serializes on TPU).
 
 Images flow as float32 in [0, 255] until the final normalize, mirroring
 PIL's uint8 domain semantics.
@@ -198,12 +200,22 @@ def autocontrast(img):
 
 def equalize(img):
     """ImageOps.equalize: per-channel histogram equalization with PIL's
-    step/LUT construction."""
+    step/LUT construction.
+
+    The 256-bin histogram is a compare-and-reduce over the uint8 pixel
+    values, not a scatter-add: `.at[flat].add(1)` lowers to a serialized
+    scatter on TPU (measured 767 ms for a vmapped 256-image batch vs
+    ~30 ms for every other strong op — BENCH_NOTES round 5), while the
+    fused compare-reduce reads the 49 KB uint8 plane per bin-tile from
+    VMEM."""
     x = jnp.clip(jnp.round(img), 0, 255).astype(jnp.int32)
 
     def eq_channel(ch):
         flat = ch.reshape(-1)
-        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+        hist = jnp.sum(
+            flat.astype(jnp.uint8)[None, :] ==
+            jnp.arange(256, dtype=jnp.uint8)[:, None],
+            axis=1, dtype=jnp.int32)
         nonzero = hist > 0
         # PIL: step = (total - last_nonzero_bin) // 255
         last_nz_val = jnp.max(jnp.where(nonzero, jnp.arange(256), -1))
@@ -251,14 +263,110 @@ def _rand_sign(key, v):
     return jnp.where(jax.random.bernoulli(key, 0.5), -v, v)
 
 
-def _randaugment_op(img, op_idx, v_int, key):
+def _geo_matrices(img_shape, ks, v, translate_frac):
+    """Inverse 2x3 matrices for the pool's five geometric ops + identity,
+    from the SAME ``ks`` sign/magnitude draws the per-op branches make.
+    Order: [rotate, shear_x, shear_y, translate_x, translate_y, identity].
+    """
+    H, W = img_shape[0], img_shape[1]
+    th = jnp.deg2rad(_rand_sign(ks, jnp.floor(v * 30 / PARAMETER_MAX)))
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    sv = _rand_sign(ks, v * 0.3 / PARAMETER_MAX)
+    px = _rand_sign(ks, jnp.floor(v * translate_frac / PARAMETER_MAX * W))
+    py = _rand_sign(ks, jnp.floor(v * translate_frac / PARAMETER_MAX * H))
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    return jnp.stack([
+        _center_affine(img_shape, cos, -sin, sin, cos),
+        jnp.array([[one, sv, zero], [zero, one, zero]], jnp.float32),
+        jnp.array([[one, zero, zero], [sv, one, zero]], jnp.float32),
+        jnp.array([[one, zero, px], [zero, one, zero]], jnp.float32),
+        jnp.array([[one, zero, zero], [zero, one, py]], jnp.float32),
+        jnp.array([[one, zero, zero], [zero, one, zero]], jnp.float32),
+    ])
+
+
+def _geo_shear_warp(img, gi, ks, v, translate_frac, use_pallas=None):
+    """The five pool geometric ops (+ identity) as exactly THREE per-row
+    shear passes (h, v, h) over the Pallas roll kernel — the gather-free
+    TPU formulation (ops/pallas_warp.py::hshift_rows_pallas):
+
+      rotate      — Paeth three-shear decomposition (paeth_shift_vectors)
+      shear_x     — src_x = x + v·y → h-pass shifts v·y, rest zero
+      shear_y     — src_y = y + v·x → v-pass shifts v·x, rest zero
+      translate   — uniform integer shift (exact: frac = 0 ⇒ pure copy)
+      identity    — all-zero shifts (exact copy)
+
+    A zero-shift pass is an exact copy, so every op runs the same 3-pass
+    program and only the selected shift VECTORS differ (cheap [H]/[W]
+    math). Single-axis shears/translates match the bilinear affine_warp
+    (dy=0 ⇒ bilinear degenerates to the same 2-tap row lerp, same zero
+    fill); rotation interpolates via three 1-D lerps instead of one
+    bilinear — the same accepted backend difference as the weak
+    'pallas'/'fused' vs 'gather' warps. Shift magnitudes stay under the
+    kernel's ±96 margin and the jnp reference's ±64 pad for the MC pool
+    at the reference m=10 (v ≤ 9: translate ≤ 60, rotate-pass ≤ 51,
+    shear ≤ 61 at 224px); the PC pool's fixed v=10 translate
+    (0.45·224 = 100) exceeds the margin, so PC keeps the gather path."""
+    from fedmlp_tpu.ops.pallas_warp import (hshift_rows_jnp,
+                                            hshift_rows_pallas,
+                                            paeth_shift_vectors)
+    H, W = img.shape[0], img.shape[1]
+    th = jnp.deg2rad(_rand_sign(ks, jnp.floor(v * 30 / PARAMETER_MAX)))
+    sv = _rand_sign(ks, v * 0.3 / PARAMETER_MAX)
+    px = _rand_sign(ks, jnp.floor(v * translate_frac / PARAMETER_MAX * W))
+    py = _rand_sign(ks, jnp.floor(v * translate_frac / PARAMETER_MAX * H))
+    p1, p2, p3 = paeth_shift_vectors(th, 0.0, 0.0, H, W)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    zH = jnp.zeros((H,), jnp.float32)
+    zW = jnp.zeros((W,), jnp.float32)
+    # slot order: rotate, shear_x, shear_y, translate_x, translate_y, id
+    S1 = jnp.stack([p1, sv * ys, zH, px + zH, zH, zH])
+    S2 = jnp.stack([p2, zW, sv * xs, zW, py + zW, zW])
+    S3 = jnp.stack([p3, zH, zH, zH, zH, zH])
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    shift = hshift_rows_pallas if use_pallas else hshift_rows_jnp
+    x = img.transpose(2, 0, 1)  # [C, H, W]
+    x = shift(x, S1[gi])
+    x = jnp.swapaxes(x, 1, 2)  # [C, W, H]
+    x = shift(x, S2[gi])
+    x = jnp.swapaxes(x, 1, 2)
+    x = shift(x, S3[gi])
+    return x.transpose(1, 2, 0)
+
+
+def _randaugment_op(img, op_idx, v_int, key, geo="gather"):
     """One op from fixmatch_augment_pool (utils/FixMatch.py:147-163).
     ``v_int`` is the integer magnitude randint(1, m); float/int parameter
-    scaling follows _float_parameter/_int_parameter."""
+    scaling follows _float_parameter/_int_parameter.
+
+    Restructured for batched (vmapped) TPU execution: a vmapped
+    ``lax.switch`` computes EVERY branch and selects, so the original
+    14-branch form ran five bilinear warps per image per layer. Here the
+    five geometric ops select their 2x3 matrix (scalar math) into ONE
+    shared warp, and only the nine photometric branches stay in the
+    switch — the chosen op's output matches the per-op form (same
+    matrices, same ``ks`` draws, same branch code; tests/test_augment.py).
+    ``geo``: 'gather' = bilinear affine_warp; 'shear' = the Pallas
+    roll-kernel three-pass form (_geo_shear_warp)."""
     ks, ko = jax.random.split(key)
     v = v_int.astype(jnp.float32)
 
-    branches = [
+    # op_idx → geometric matrix slot (5 = identity): rotate=7, shear_x=9,
+    # shear_y=10, translate_x=12, translate_y=13
+    geo_slot = jnp.array([5, 5, 5, 5, 5, 5, 5, 0, 5, 1, 2, 5, 3, 4])
+    if geo == "shear":
+        geo_out = _geo_shear_warp(img, geo_slot[op_idx], ks, v, 0.3)
+    else:
+        mats = _geo_matrices(img.shape, ks, v, 0.3)
+        geo_out = affine_warp(img, mats[geo_slot[op_idx]])
+    is_geo = geo_slot[op_idx] != 5
+
+    # op_idx → photometric branch (identity for geometric slots)
+    pho_slot = jnp.array([0, 1, 2, 3, 4, 5, 6, 5, 7, 5, 5, 8, 5, 5])
+    pho_branches = [
         lambda im: autocontrast(im),                                       # 0
         lambda im: brightness(im, v * 0.9 / PARAMETER_MAX + 0.05),         # 1
         lambda im: color(im, v * 0.9 / PARAMETER_MAX + 0.05),              # 2
@@ -266,18 +374,14 @@ def _randaugment_op(img, op_idx, v_int, key):
         lambda im: equalize(im),                                           # 4
         lambda im: im,                                                     # 5 identity
         lambda im: posterize(im, (v * 4 // PARAMETER_MAX).astype(jnp.int32) + 4),  # 6
-        lambda im: rotate(im, _rand_sign(ks, jnp.floor(v * 30 / PARAMETER_MAX))),  # 7
-        lambda im: sharpness(im, v * 0.9 / PARAMETER_MAX + 0.05),          # 8
-        lambda im: shear_x(im, _rand_sign(ks, v * 0.3 / PARAMETER_MAX)),   # 9
-        lambda im: shear_y(im, _rand_sign(ks, v * 0.3 / PARAMETER_MAX)),   # 10
-        lambda im: solarize(im, 256.0 - jnp.floor(v * 256 / PARAMETER_MAX)),  # 11
-        lambda im: translate_x(im, _rand_sign(ks, jnp.floor(v * 0.3 / PARAMETER_MAX * im.shape[1]))),  # 12
-        lambda im: translate_y(im, _rand_sign(ks, jnp.floor(v * 0.3 / PARAMETER_MAX * im.shape[0]))),  # 13
+        lambda im: sharpness(im, v * 0.9 / PARAMETER_MAX + 0.05),          # 7
+        lambda im: solarize(im, 256.0 - jnp.floor(v * 256 / PARAMETER_MAX)),  # 8
     ]
-    return jax.lax.switch(op_idx, branches, img)
+    pho_out = jax.lax.switch(pho_slot[op_idx], pho_branches, img)
+    return jnp.where(is_geo, geo_out, pho_out)
 
 
-def randaugment_mc(img, key, n=2, m=10, cutout=16):
+def randaugment_mc(img, key, n=2, m=10, cutout=16, geo="gather"):
     """RandAugmentMC(n, m) on one image [H, W, 3] float32 0..255."""
     keys = jax.random.split(key, n + 1)
     for i in range(n):
@@ -285,19 +389,31 @@ def randaugment_mc(img, key, n=2, m=10, cutout=16):
         op_idx = jax.random.randint(kop, (), 0, 14)
         v_int = jax.random.randint(kv, (), 1, m)  # np.random.randint(1, m)
         do = jax.random.bernoulli(kp, 0.5)
-        auged = _randaugment_op(img, op_idx, v_int, kapply)
+        auged = _randaugment_op(img, op_idx, v_int, kapply, geo=geo)
         img = jnp.where(do, auged, img)
     return cutout_abs(img, keys[n], cutout)
 
 
 def _randaugment_pc_op(img, op_idx, m, key):
     """One op from my_augment_pool (utils/FixMatch.py:166-184): 16 ops with
-    fixed magnitude v = m and PC-specific (max_v, bias) scaling."""
+    fixed magnitude v = m and PC-specific (max_v, bias) scaling.
+
+    Same one-warp restructure as ``_randaugment_op`` (matrix-select into a
+    single shared ``affine_warp``; photometric-only switch)."""
     ks, _ = jax.random.split(key)
     v = jnp.float32(m)
     size = min(img.shape[0], img.shape[1])
 
-    branches = [
+    # op_idx → geometric matrix slot (5 = identity): rotate=8, shear_x=10,
+    # shear_y=11, translate_x=14, translate_y=15
+    geo_slot = jnp.array([5, 5, 5, 5, 5, 5, 5, 5, 0, 5, 1, 2, 5, 5, 3, 4])
+    mats = _geo_matrices(img.shape, ks, v, 0.45)
+    geo_out = affine_warp(img, mats[geo_slot[op_idx]])
+    is_geo = geo_slot[op_idx] != 5
+
+    pho_slot = jnp.array([0, 1, 2, 3, 4, 5, 6, 7, 11, 8, 11, 11, 9, 10,
+                          11, 11])
+    pho_branches = [
         lambda im: autocontrast(im),                                        # 0
         lambda im: brightness(im, v * 1.8 / PARAMETER_MAX + 0.1),           # 1
         lambda im: color(im, v * 1.8 / PARAMETER_MAX + 0.1),                # 2
@@ -306,16 +422,13 @@ def _randaugment_pc_op(img, op_idx, m, key):
         lambda im: equalize(im),                                            # 5
         lambda im: invert(im),                                              # 6
         lambda im: posterize(im, (v * 4 // PARAMETER_MAX).astype(jnp.int32) + 4),  # 7
-        lambda im: rotate(im, _rand_sign(ks, jnp.floor(v * 30 / PARAMETER_MAX))),  # 8
-        lambda im: sharpness(im, v * 1.8 / PARAMETER_MAX + 0.1),            # 9
-        lambda im: shear_x(im, _rand_sign(ks, v * 0.3 / PARAMETER_MAX)),    # 10
-        lambda im: shear_y(im, _rand_sign(ks, v * 0.3 / PARAMETER_MAX)),    # 11
-        lambda im: solarize(im, 256.0 - jnp.floor(v * 256 / PARAMETER_MAX)),  # 12
-        lambda im: solarize_add(im, _rand_sign(ks, jnp.floor(v * 110 / PARAMETER_MAX))),  # 13
-        lambda im: translate_x(im, _rand_sign(ks, jnp.floor(v * 0.45 / PARAMETER_MAX * im.shape[1]))),  # 14
-        lambda im: translate_y(im, _rand_sign(ks, jnp.floor(v * 0.45 / PARAMETER_MAX * im.shape[0]))),  # 15
+        lambda im: sharpness(im, v * 1.8 / PARAMETER_MAX + 0.1),            # 8
+        lambda im: solarize(im, 256.0 - jnp.floor(v * 256 / PARAMETER_MAX)),  # 9
+        lambda im: solarize_add(im, _rand_sign(ks, jnp.floor(v * 110 / PARAMETER_MAX))),  # 10
+        lambda im: im,                                                      # 11 identity
     ]
-    return jax.lax.switch(op_idx, branches, img)
+    pho_out = jax.lax.switch(pho_slot[op_idx], pho_branches, img)
+    return jnp.where(is_geo, geo_out, pho_out)
 
 
 def randaugment_pc(img, key, n=2, m=10, cutout=16):
@@ -365,20 +478,43 @@ def weak_augment_batch(images_u8, key, mean, std, degrees=10.0, translate=0.02,
     return jax.vmap(one)(images_u8, keys)
 
 
+def _random_affine_shear(img, key, degrees, translate):
+    """random_affine with the Paeth three-shear warp instead of the
+    bilinear gather — identical parameter draws (same key consumption),
+    the weak 'pallas' backend's interpolation (pallas_warp.paeth_affine)."""
+    from fedmlp_tpu.ops.pallas_warp import paeth_affine
+    H, W = img.shape[0], img.shape[1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    ang = jax.random.uniform(k1, (), minval=-degrees, maxval=degrees)
+    tx = jax.random.uniform(k2, (), minval=-translate, maxval=translate) * W
+    ty = jax.random.uniform(k3, (), minval=-translate, maxval=translate) * H
+    planar = img.transpose(2, 0, 1)
+    return paeth_affine(planar, jnp.deg2rad(ang), tx, ty).transpose(1, 2, 0)
+
+
 def strong_augment_batch(images_u8, key, mean, std, n=2, m=10,
-                         degrees=10.0, translate=0.02, keys=None):
+                         degrees=10.0, translate=0.02, keys=None,
+                         geo="gather"):
     """Strong view: weak geometric prefix + RandAugmentMC + normalize
     (reference: dataset/dataset.py:70-77). ``keys`` [B, 3, 2] overrides the
-    per-image key derivation (see weak_augment_batch)."""
+    per-image key derivation (see weak_augment_batch). ``geo='shear'``
+    runs every warp (prefix affine + pool geometric ops) through the
+    Pallas roll kernel instead of bilinear gathers — the TPU path
+    (fl_runtime._pick_strong_backend): gathers made the original strong
+    pipeline ~70x slower than the weak warp per image (BENCH_NOTES
+    round 5)."""
     B = images_u8.shape[0]
     if keys is None:
         keys = jax.random.split(key, 3 * B).reshape(B, 3, 2)
 
     def one(img, ks):
         x = img.astype(jnp.float32)
-        x = random_affine(x, ks[0], degrees, translate)
+        if geo == "shear":
+            x = _random_affine_shear(x, ks[0], degrees, translate)
+        else:
+            x = random_affine(x, ks[0], degrees, translate)
         x = random_hflip(x, ks[1])
-        x = randaugment_mc(x, ks[2], n=n, m=m)
+        x = randaugment_mc(x, ks[2], n=n, m=m, geo=geo)
         return normalize(x, mean, std)
 
     return jax.vmap(one)(images_u8, keys)

@@ -416,6 +416,15 @@ def _pick_strong_backend(augment_backend: str):
         def strong(imgs, key, mean_, std_, keys=None):
             return A.eval_batch(imgs, mean_, std_)
         return strong
+    if augment_backend in ("pallas", "fused"):
+        # gather-free strong pipeline: prefix affine + pool geometric ops
+        # through the Pallas roll kernel (ops/augment._geo_shear_warp) —
+        # the vmapped bilinear gathers made strong ~70x the weak warp's
+        # per-image cost on TPU (BENCH_NOTES round 5)
+        def strong(imgs, key, mean_, std_, keys=None):
+            return A.strong_augment_batch(imgs, key, mean_, std_,
+                                          keys=keys, geo="shear")
+        return strong
     return A.strong_augment_batch
 
 
