@@ -43,6 +43,13 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # One suite run = one fresh subprocess (bounded RSS on the 1-core
+    # host); without a persistent cache every run re-compiles ~25 min of
+    # CPU programs. The cache is keyed by backend+program, so repeat
+    # seeds hit it outright and sibling algorithms share eval programs.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(C.REPO, ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from fedmlp_tpu.config import Config, DataConfig, FedMLPConfig
     from fedmlp_tpu.train import Trainer
